@@ -1,0 +1,197 @@
+"""Shared Flax building blocks with PyTorch-equivalent numerics.
+
+These wrap the functional ops in ``weather_unet_tpu.ops`` as linen modules so
+parameters/state live in standard collections:
+
+* ``params``       — kernels/biases (kernels HWIO; dense kernels (in, out))
+* ``spectral``     — spectral-norm power-iteration ``u`` vectors
+* ``batch_stats``  — BatchNorm running mean/var
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from weather_unet_tpu.ops import convs
+from weather_unet_tpu.ops import inits
+from weather_unet_tpu.ops.spectral import spectral_normalize
+
+Dtype = Any
+
+
+class TorchConv(nn.Module):
+    """Conv2d with PyTorch default init (U(-1/sqrt(fan_in), +)) and NHWC/HWIO
+    layout.  ``kernel_init=None`` selects the torch default."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        shape = (k, k, in_ch, self.features)
+        kinit = self.kernel_init or inits.torch_kernel_init
+        kernel = self.param("kernel", kinit, shape, self.param_dtype)
+        bias = None
+        if self.use_bias:
+            fan_in = in_ch * k * k
+            bias = self.param(
+                "bias", inits.torch_bias_init_for(fan_in), (self.features,), self.param_dtype
+            )
+        x = x.astype(self.dtype)
+        return convs.conv2d(
+            x, kernel.astype(self.dtype), bias, stride=self.stride, padding=self.padding
+        )
+
+
+class TorchDense(nn.Module):
+    """Linear with PyTorch default init.  Kernel stored (in, out)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kinit = self.kernel_init or inits.torch_kernel_init
+        kernel = self.param("kernel", kinit, (in_f, self.features), self.param_dtype)
+        y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", inits.torch_bias_init_for(in_f), (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class SNConv(nn.Module):
+    """Spectral-normalized Conv2d (reference ``nets.py:26-33``).
+
+    ``update_stats=True`` advances the power-iteration ``u`` (training-mode
+    forward in torch); the updated vector is written to the ``'spectral'``
+    collection.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    kernel_init: Optional[Callable] = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        kinit = self.kernel_init or inits.torch_kernel_init
+        kernel = self.param(
+            "kernel", kinit, (k, k, in_ch, self.features), self.param_dtype
+        )
+        fan_in = in_ch * k * k
+        bias = self.param(
+            "bias", inits.torch_bias_init_for(fan_in), (self.features,), self.param_dtype
+        )
+        u = self.variable(
+            "spectral", "u",
+            lambda: inits.normal_unit(self.make_rng("params"), (self.features,), jnp.float32),
+        )
+        kernel_bar, new_u = spectral_normalize(
+            kernel.astype(jnp.float32), u.value, update=update_stats
+        )
+        if update_stats and not self.is_initializing():
+            u.value = new_u
+        return convs.conv2d(
+            x.astype(self.dtype), kernel_bar.astype(self.dtype), bias.astype(self.dtype),
+            stride=self.stride, padding=self.padding,
+        )
+
+
+class SNDense(nn.Module):
+    """Spectral-normalized Linear (reference ``disc.py:21-25``)."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Optional[Callable] = None
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, update_stats: bool = False):
+        in_f = x.shape[-1]
+        kinit = self.kernel_init or inits.torch_kernel_init
+        kernel = self.param("kernel", kinit, (in_f, self.features), self.param_dtype)
+        u = self.variable(
+            "spectral", "u",
+            lambda: inits.normal_unit(self.make_rng("params"), (self.features,), jnp.float32),
+        )
+        kernel_bar, new_u = spectral_normalize(
+            kernel.astype(jnp.float32), u.value, update=update_stats
+        )
+        if update_stats and not self.is_initializing():
+            u.value = new_u
+        y = x.astype(self.dtype) @ kernel_bar.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", inits.torch_bias_init_for(in_f), (self.features,), self.param_dtype
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class BatchNorm2d(nn.Module):
+    """BatchNorm2d with exact torch semantics.
+
+    Train mode normalizes with the *biased* batch variance but updates the
+    running variance with the *unbiased* one; running stats blend with
+    ``momentum=0.1`` (torch convention: new = (1-m)*old + m*batch).
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    affine: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros(c, jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones(c, jnp.float32)
+        )
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (x.astype(jnp.float32) - mean) * inv
+        if self.affine:
+            gamma = self.param("scale", lambda _k: jnp.ones(c, self.param_dtype))
+            beta = self.param("bias", lambda _k: jnp.zeros(c, self.param_dtype))
+            y = y * gamma + beta
+        return y.astype(self.dtype)

@@ -1,0 +1,113 @@
+"""Conditional U-Net generator — TPU-native rebuild of reference ``cunet.py:7-82``.
+
+Architecture (pixel-parity with the PyTorch reference):
+
+* encoder: 4 × ``r_double_conv`` (conv3x3+ReLU ×2) at 3→64→128→256→512 with
+  2×2 max-pool between stages (``cunet.py:21-27,45-54``),
+* bottleneck and each decoder stage: AdaIN conditioned on the weather vector,
+  bilinear ×2 upsample (align_corners=True), dropout(0.3), skip-concat in
+  ``[x, skip]`` order, then ``r_double_conv`` (``cunet.py:59-78``),
+* 1×1 conv to 3 channels + tanh (``cunet.py:39-40,80-82``).
+
+TPU-first choices: NHWC layout, the align_corners upsample is two MXU matmuls
+(`ops/resize.py`), AdaIN stats are fused by XLA into neighbouring elementwise
+work, and the whole forward is shape-static so it jits once per resolution.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from weather_unet_tpu.models.common import TorchConv, TorchDense
+from weather_unet_tpu.ops.convs import max_pool_2x2
+from weather_unet_tpu.ops.norm import adain
+from weather_unet_tpu.ops.resize import upsample_bilinear_align_corners
+
+
+class RDoubleConv(nn.Module):
+    """(conv3x3 → ReLU) ×2, padding 1, no norm — reference ``nets.py:18-24``."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = TorchConv(self.features, kernel_size=3, padding=1, dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(x)
+        x = TorchConv(self.features, kernel_size=3, padding=1, dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(x)
+        return x
+
+
+class AdaINBlock(nn.Module):
+    """AdaIN conditioned on the weather vector — reference ``utils.py:26-51``.
+
+    Projects the condition through ``Dense(num_classes → C*4)`` and modulates
+    per-channel instance statistics; style stats are computed over the 4
+    projected values per channel with unbiased variance (the reference quirk).
+    The reference also allocates an ``nn.Embedding(num_classes, num_classes)``
+    that is never used in forward (``utils.py:32``) — omitted here; the compat
+    importer drops it.
+    """
+
+    channels: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        y = TorchDense(self.channels * 4, dtype=self.dtype, name="proj")(c)
+        return adain(x, y, eps=self.eps)
+
+
+class ConditionalUNet(nn.Module):
+    """4-down/3-up conditional U-Net (reference ``cunet.py``)."""
+
+    num_classes: int = 5
+    dropout_rate: float = 0.3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c, *, train: bool = False):
+        """Args:
+          x: images NHWC in [-1, 1].
+          c: condition vectors (B, num_classes) — one-hot class or soft signals.
+          train: enables dropout (the reference's training-time evaluation also
+            keeps dropout active — ``t_est_train.py:299-308`` — callers choose).
+        """
+        dt = self.dtype
+        x = x.astype(dt)
+        c = c.astype(dt)
+        drop = lambda h: nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+
+        conv1 = RDoubleConv(64, dtype=dt, name="down1")(x)
+        h = max_pool_2x2(conv1)
+        conv2 = RDoubleConv(128, dtype=dt, name="down2")(h)
+        h = max_pool_2x2(conv2)
+        conv3 = RDoubleConv(256, dtype=dt, name="down3")(h)
+        h = max_pool_2x2(conv3)
+        h = RDoubleConv(512, dtype=dt, name="down4")(h)
+
+        h = AdaINBlock(512, dtype=dt, name="adain3")(h, c)
+        h = upsample_bilinear_align_corners(h)
+        h = drop(h)
+        h = jnp.concatenate([h, conv3], axis=-1)
+        h = RDoubleConv(256, dtype=dt, name="up3")(h)
+
+        h = AdaINBlock(256, dtype=dt, name="adain2")(h, c)
+        h = upsample_bilinear_align_corners(h)
+        h = drop(h)
+        h = jnp.concatenate([h, conv2], axis=-1)
+        h = RDoubleConv(128, dtype=dt, name="up2")(h)
+
+        h = AdaINBlock(128, dtype=dt, name="adain1")(h, c)
+        h = upsample_bilinear_align_corners(h)
+        h = drop(h)
+        h = jnp.concatenate([h, conv1], axis=-1)
+        h = RDoubleConv(64, dtype=dt, name="up1")(h)
+
+        out = TorchConv(3, kernel_size=1, padding=0, dtype=dt, name="conv_last")(h)
+        return jnp.tanh(out)

@@ -1,0 +1,71 @@
+"""Normalization ops reproducing the reference's exact (quirky) numerics.
+
+The reference AdaIN (``utils.py:26-51``) projects the condition vector through
+``Linear(num_classes, C*4)``, views both the feature map and the projection as
+``(B, C, -1)`` and takes per-channel mean/std of each — so the "style" stats
+are computed over only 4 values per channel, with torch's *unbiased* variance
+(ddof=1) and ``var + eps`` inside the sqrt.  Pixel parity requires reproducing
+this exactly, not "fixing" it.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _mean_var_unbiased(x, axis):
+    """Mean and unbiased (ddof=1) variance along ``axis`` — torch ``.var()``."""
+    n = 1
+    for a in (axis if isinstance(axis, tuple) else (axis,)):
+        n *= x.shape[a]
+    mean = jnp.mean(x, axis=axis)
+    sq = jnp.mean(jnp.square(x), axis=axis)
+    var_biased = sq - jnp.square(mean)
+    var = var_biased * (n / max(n - 1, 1))
+    return mean, var
+
+
+def adain(x, y_proj, eps: float = 1e-5):
+    """Adaptive instance norm, reference semantics (``utils.py:41-51``).
+
+    Args:
+      x: features NHWC ``(B, H, W, C)``.
+      y_proj: projected condition ``(B, C*4)`` (output of the Dense layer).
+      eps: added to the *variance* before sqrt (``utils.py:36-37``).
+    """
+    b, h, w, c = x.shape
+    x_mean, x_var = _mean_var_unbiased(x, axis=(1, 2))          # (B, C)
+    y = y_proj.reshape(b, c, 4)                                  # channel-major view
+    y_mean, y_var = _mean_var_unbiased(y, axis=2)                # (B, C), ddof=1 over 4!
+    x_std = jnp.sqrt(x_var + eps)
+    y_std = jnp.sqrt(y_var + eps)
+    x_mean = x_mean[:, None, None, :]
+    x_std = x_std[:, None, None, :]
+    y_mean = y_mean[:, None, None, :]
+    y_std = y_std[:, None, None, :]
+    return (x - x_mean) / x_std * y_std + y_mean
+
+
+def instance_whiten(x, eps: float = 1e-5):
+    """Per-sample, per-channel whitening (no affine), unbiased variance."""
+    mean, var = _mean_var_unbiased(x, axis=(1, 2))
+    return (x - mean[:, None, None, :]) / jnp.sqrt(var + eps)[:, None, None, :]
+
+
+def batch_whiten(x, eps: float = 1e-5):
+    """Reference custom ``BatchNorm`` (``utils.py:54-71``): per-*sample*
+    whitening over all of C,H,W flattened, unbiased variance."""
+    b = x.shape[0]
+    flat = x.reshape(b, -1)
+    mean, var = _mean_var_unbiased(flat, axis=1)
+    std = jnp.sqrt(var + eps)
+    shape = (b,) + (1,) * (x.ndim - 1)
+    return (x - mean.reshape(shape)) / std.reshape(shape)
+
+
+def conditional_norm(x, batch_mean, batch_var, gamma, beta, eps: float = 1e-5):
+    """Class-conditional BN core (reference ``utils.py:7-23``): affine-less BN
+    followed by per-class gamma/beta looked up by the caller."""
+    inv = 1.0 / jnp.sqrt(batch_var + eps)
+    out = (x - batch_mean) * inv
+    return gamma[:, None, None, :] * out + beta[:, None, None, :]

@@ -1,0 +1,56 @@
+"""Bilinear resize with PyTorch ``align_corners=True`` semantics, as matmuls.
+
+The reference U-Net upsamples with ``nn.Upsample(scale_factor=2,
+mode='bilinear', align_corners=True)`` (``cunet.py:26``).  ``jax.image.resize``
+uses the half-pixel convention, which does NOT match.  Instead we express the
+separable interpolation as two small dense matmuls — for align_corners the
+source coordinate of output row ``i`` is ``i * (H_in - 1) / (H_out - 1)``, so a
+fixed ``(H_out, H_in)`` matrix applied along H and an analogous one along W
+reproduce PyTorch exactly, and both land on the MXU (much faster than gathers
+on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=64)
+def _interp_matrix_np(n_out: int, n_in: int) -> np.ndarray:
+    """(n_out, n_in) row-stochastic bilinear weights, align_corners=True."""
+    m = np.zeros((n_out, n_in), dtype=np.float64)
+    if n_out == 1 or n_in == 1:
+        src = np.zeros(n_out)
+    else:
+        src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    i0 = np.floor(src).astype(np.int64)
+    i0 = np.clip(i0, 0, n_in - 1)
+    i1 = np.clip(i0 + 1, 0, n_in - 1)
+    frac = src - i0
+    rows = np.arange(n_out)
+    np.add.at(m, (rows, i0), 1.0 - frac)
+    np.add.at(m, (rows, i1), frac)
+    return m.astype(np.float32)
+
+
+def resize_bilinear_torch(x, out_h: int, out_w: int):
+    """NHWC bilinear resize matching ``F.interpolate(..., align_corners=True)``."""
+    n, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    dt = x.dtype
+    mh = jnp.asarray(_interp_matrix_np(out_h, h), dtype=dt)
+    mw = jnp.asarray(_interp_matrix_np(out_w, w), dtype=dt)
+    # (O_h, H) x (N, H, W, C) -> (N, O_h, W, C); then along W.
+    y = jnp.einsum("oh,nhwc->nowc", mh, x, preferred_element_type=dt)
+    y = jnp.einsum("pw,nowc->nopc", mw, y, preferred_element_type=dt)
+    return y
+
+
+def upsample_bilinear_align_corners(x, scale: int = 2):
+    """scale_factor upsample, align_corners=True (reference ``cunet.py:26``)."""
+    n, h, w, c = x.shape
+    return resize_bilinear_torch(x, h * scale, w * scale)

@@ -1,0 +1,67 @@
+"""Device mesh and sharding layout.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(``estimator.py:156-157``, SURVEY.md §2.9).  The TPU-native equivalent is SPMD
+data parallelism over a ``jax.sharding.Mesh``: the batch dimension is sharded
+along the ``'data'`` axis (ICI), parameters are replicated, and XLA inserts
+the ``psum`` gradient all-reduce automatically when a jitted step consumes
+sharded batches and produces replicated parameter updates.
+
+A ``'model'`` axis is reserved as a design seam for tensor-parallel layouts
+(conv channel sharding); with these model sizes (<60M params) it stays size 1
+in practice — SURVEY.md §2.9 records that TP/PP/SP/EP are intentionally not
+needed for parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshPlan:
+    mesh: Mesh
+
+    @property
+    def n_data(self) -> int:
+        return self.mesh.shape["data"]
+
+    def batch(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P("data"))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              data: Optional[int] = None, model: int = 1) -> MeshPlan:
+    """Build a (data, model) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if data is None:
+        data = len(devices) // model
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
+    return MeshPlan(Mesh(arr, ("data", "model")))
+
+
+def batch_sharding(plan: MeshPlan) -> NamedSharding:
+    return plan.batch()
+
+
+def replicated_sharding(plan: MeshPlan) -> NamedSharding:
+    return plan.replicated()
+
+
+def shard_batch(plan: MeshPlan, tree):
+    """Place a host batch (pytree of np arrays) onto the mesh, batch-sharded."""
+    sh = plan.batch()
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def replicate(plan: MeshPlan, tree):
+    sh = plan.replicated()
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
