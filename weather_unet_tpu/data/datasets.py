@@ -1,0 +1,189 @@
+"""Host-side datasets mirroring the reference's loaders (``dataset.py``).
+
+Design: datasets are plain indexable objects returning numpy records; decode
+(PIL) happens in the loader's thread pool; all augmentation beyond
+decode+resize runs batched on device (``data/transforms.py``) — the TPU-native
+replacement for torchvision's per-sample CPU transform stacks
+(``t_est_train.py:76-103``).
+
+Behavioral notes vs reference:
+* unreadable images: the reference retries the same index forever
+  (``dataset.py:62-66``); here corrupt files raise after a bounded number of
+  fallback attempts to the next index (SURVEY.md §5 — keep skip-on-corrupt,
+  bounded).
+* ``FlickrDataset`` keeps the three return arities keyed on
+  ``class_id in {None, True, False}`` (``dataset.py:72-79``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+WEATHER_CLASSES_I2W = ["sunny", "cloudy", "rain", "snow", "foggy"]
+WEATHER_CLASSES_FLICKR = ["Clear", "Clouds", "Rain", "Mist", "Snow"]
+SIGNAL_COLUMNS = ["clouds", "temp", "humidity", "pressure", "windspeed"]
+
+_MAX_BAD_FILES = 16
+
+
+def class_id_from_string(name: str) -> int:
+    """i2w class name -> id (``dataset.py:20-24``)."""
+    return WEATHER_CLASSES_I2W.index(name)
+
+
+def zscore_columns(df, columns, stats_df=None):
+    """Z-score ``columns`` of ``df`` in place using ``stats_df``'s (or the
+    train split's) mean/std — the reference normalizes against the
+    without-outlier frame (``t_est_train.py:126-131``) or the train split
+    (``estimator.py:103-106``).  Returns (df, mean, std)."""
+    src = (stats_df if stats_df is not None else df)
+    ref = src.loc[:, columns].fillna(0)
+    mean, std = ref.mean(), ref.std()
+    df = df.copy()
+    df.loc[:, columns] = (df.loc[:, columns].fillna(0) - mean) / std
+    return df, mean, std
+
+
+def _decode(path: str, out_size: Optional[int]) -> np.ndarray:
+    """JPEG decode + optional square resize -> uint8 HWC."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if out_size is not None:
+            im = im.resize((out_size, out_size), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+class FlickrDataset:
+    """Flickr weather-DB dataset (``dataset.py:27-79``).
+
+    Items come from a pandas dataframe with a ``photo`` column (image id), the
+    z-scored signal columns, and a class column (``condition2``, or
+    ``w_condition`` when ``imbalance``).
+    """
+
+    def __init__(self, image_root: str, df, columns: Sequence[str],
+                 out_size: Optional[int] = None, class_id: Optional[bool] = None,
+                 imbalance: bool = False):
+        self.root = image_root
+        self.columns = list(columns)
+        self.photo_ids = df["photo"].to_list()
+        self.conditions = df.loc[:, self.columns].fillna(0).to_numpy(np.float32)
+        label_col = "w_condition" if imbalance else "condition2"
+        self.labels = df[label_col].to_list() if label_col in df else None
+        self.class_id = class_id
+        self.num_classes = len(self.columns)
+        self.out_size = out_size
+
+    def __len__(self):
+        return len(self.photo_ids)
+
+    def get_class(self, idx: int) -> int:
+        return WEATHER_CLASSES_FLICKR.index(self.labels[idx])
+
+    def get_condition(self, idx: int) -> np.ndarray:
+        return self.conditions[idx]
+
+    def __getitem__(self, idx: int):
+        for attempt in range(_MAX_BAD_FILES):
+            i = (idx + attempt) % len(self)
+            path = os.path.join(self.root, self.photo_ids[i] + ".jpg")
+            try:
+                image = _decode(path, self.out_size)
+                break
+            except Exception:
+                continue
+        else:
+            raise IOError(f"more than {_MAX_BAD_FILES} consecutive unreadable images at {idx}")
+        cond = self.get_condition(i)
+        if self.class_id is None:
+            return image, cond, self.photo_ids[i]
+        if self.class_id:
+            return image, cond, self.get_class(i), self.photo_ids[i]
+        return image, self.get_class(i)
+
+
+class ImagePathDataset:
+    """Plain path-list dataset (reference ``ImageLoader``, ``dataset.py:81-102``)."""
+
+    def __init__(self, paths: Sequence[str], out_size: Optional[int] = None,
+                 with_path: bool = False):
+        self.paths = list(paths)
+        self.out_size = out_size
+        self.with_path = with_path
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, idx: int):
+        for attempt in range(_MAX_BAD_FILES):
+            i = (idx + attempt) % len(self)
+            try:
+                image = _decode(self.paths[i], self.out_size)
+                break
+            except Exception:
+                continue
+        else:
+            raise IOError(f"more than {_MAX_BAD_FILES} consecutive unreadable images at {idx}")
+        if self.with_path:
+            return image, self.paths[i]
+        return image, True
+
+
+class ClassImageDataset:
+    """i2w dataset: class = parent directory name, fixed class list, skips
+    ``z-other`` (reference ``ClassImageLoader``, ``dataset.py:105-136``)."""
+
+    def __init__(self, paths: Sequence[str], out_size: Optional[int] = None,
+                 inf: bool = False):
+        self.paths = [p for p in paths if "z-other" not in p]
+        self.classes = WEATHER_CLASSES_I2W
+        self.num_classes = len(self.classes)
+        self.out_size = out_size
+        self.inf = inf
+
+    def __len__(self):
+        return len(self.paths)
+
+    def get_class(self, idx: int) -> int:
+        return class_id_from_string(self.paths[idx].split(os.sep)[-2])
+
+    def __getitem__(self, idx: int):
+        image = _decode(self.paths[idx], self.out_size)
+        target = self.get_class(idx)
+        if self.inf:
+            return image, target, self.paths[idx]
+        return image, target
+
+
+class OneYearWeatherSignals:
+    """One fixed photo x a year of hourly signals for one station
+    (reference ``dataset.py:155-203``): dedup on ``s_unixtime``, sorted
+    descending; items are ``(image, signal_vector, unixtime)``."""
+
+    def __init__(self, image_root: str, df, columns: Sequence[str],
+                 photo_id: str, out_size: Optional[int] = None,
+                 name: Optional[str] = None):
+        self.columns = list(columns)
+        self.num_classes = len(self.columns)
+        self.photo_id = photo_id
+        if name is None:
+            name = df[df["photo"] == photo_id]["name"].to_list()[0]
+        self.name = name
+
+        sdf = df[df["name"] == name].drop_duplicates(subset=["s_unixtime"])
+        sdf = sdf.sort_values("s_unixtime", ascending=False).reset_index()
+        self.s_times = sdf["s_unixtime"].to_numpy()
+        self.conditions = sdf.loc[:, self.columns].fillna(0).to_numpy(np.float32)
+
+        self.image = _decode(os.path.join(image_root, photo_id + ".jpg"), out_size)
+
+    def __len__(self):
+        return len(self.conditions)
+
+    def __getitem__(self, idx: int):
+        return self.image, self.conditions[idx], self.s_times[idx]

@@ -1,0 +1,122 @@
+"""Host->device input pipeline: threaded decode, batching, device prefetch.
+
+Replaces torch DataLoader worker processes (``t_est_train.py:176-196``) with a
+thread-pool decode feeding pinned numpy batches and an async device-put
+prefetcher (double buffering into HBM) — the per-step H2D copy the reference
+pays at ``t_est_train.py:381-382`` overlaps with compute here.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def _stack(samples):
+    """Collate a list of per-sample tuples into a tuple of stacked arrays
+    (non-array fields become object arrays, e.g. photo ids)."""
+    fields = list(zip(*samples))
+    out = []
+    for f in fields:
+        first = f[0]
+        if isinstance(first, np.ndarray):
+            out.append(np.stack(f))
+        elif isinstance(first, (int, float, bool, np.integer, np.floating)):
+            out.append(np.asarray(f))
+        else:
+            out.append(np.asarray(f, dtype=object))
+    return tuple(out)
+
+
+class BatchLoader:
+    """Iterable over collated batches with threaded sample loading.
+
+    Args mirror the reference DataLoader knobs: ``shuffle``, ``drop_last``,
+    ``sampler`` (an iterable of indices, e.g. ``ImbalancedSampler``),
+    ``num_workers`` (thread pool size).
+    """
+
+    def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
+                 drop_last: bool = True, sampler: Optional[Iterable[int]] = None,
+                 num_workers: int = 8, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.sampler = sampler
+        self.num_workers = max(1, num_workers)
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _indices(self):
+        if self.sampler is not None:
+            return list(iter(self.sampler))
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        return idx.tolist()
+
+    def __iter__(self) -> Iterator[tuple]:
+        indices = self._indices()
+        bs = self.batch_size
+        n_full = len(indices) // bs
+        batches = [indices[i * bs:(i + 1) * bs] for i in range(n_full)]
+        if not self.drop_last and len(indices) % bs:
+            batches.append(indices[n_full * bs:])
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            # pipeline: submit the next batch's samples while yielding current
+            pending = collections.deque()
+            for b in batches[:2]:
+                pending.append([pool.submit(self.dataset.__getitem__, i) for i in b])
+            k = 2
+            while pending:
+                futs = pending.popleft()
+                if k < len(batches):
+                    pending.append(
+                        [pool.submit(self.dataset.__getitem__, i) for i in batches[k]])
+                    k += 1
+                yield _stack([f.result() for f in futs])
+
+
+def device_prefetch(iterator: Iterable, sharding=None, depth: int = 2,
+                    device_fields: Optional[Sequence[int]] = None):
+    """Asynchronously device_put batches ``depth`` steps ahead.
+
+    ``device_fields`` selects which tuple fields go to device (object-dtype
+    fields like photo ids stay on host).
+    """
+    import jax
+
+    def put(batch):
+        out = []
+        for i, x in enumerate(batch):
+            on_device = (device_fields is None or i in device_fields)
+            if on_device and isinstance(x, np.ndarray) and x.dtype != object:
+                out.append(jax.device_put(x, sharding) if sharding is not None
+                           else jax.device_put(x))
+            else:
+                out.append(x)
+        return tuple(out)
+
+    queue: collections.deque = collections.deque()
+    it = iter(iterator)
+    try:
+        for _ in range(depth):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        nxt = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield nxt

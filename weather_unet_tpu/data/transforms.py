@@ -1,0 +1,180 @@
+"""On-device batched augmentation — the TPU-native replacement for the
+reference's torchvision CPU transform stacks.
+
+The reference applies per-sample CPU transforms in DataLoader workers
+(``t_est_train.py:76-103``): train = [Resize, RandomRotation(10), HFlip] or
+with ``--augmentation`` [RandomRotation(10), RandomResizedCrop, HFlip,
+ColorJitter(0.5, 0.3, 0.3, 0)], then ToTensor + Normalize(0.5, 0.5).
+
+Here the host only decodes + resizes to a base size; rotation, crop, flip are
+composed into ONE inverse affine map per image and executed as a single
+batched bilinear gather on device, followed by fused elementwise color jitter
+and normalization — one kernel pass instead of four CPU passes per image.
+
+Distributional notes (documented deviations, identical in spirit):
+* RandomResizedCrop: torchvision rejection-samples (10 tries) then falls back
+  to center crop; we sample scale/log-ratio once and clamp the crop box to the
+  image — same support, slightly different tail distribution.
+* ColorJitter applies brightness->contrast->saturation in fixed order
+  (torchvision shuffles the order per sample).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    out_size: int = 224
+    degrees: float = 10.0          # RandomRotation(10)
+    hflip: bool = True
+    resized_crop: bool = False     # --augmentation branch
+    crop_scale: tuple = (0.08, 1.0)
+    crop_ratio: tuple = (3.0 / 4.0, 4.0 / 3.0)
+    brightness: float = 0.0        # 0.5 in --augmentation branch
+    contrast: float = 0.0          # 0.3
+    saturation: float = 0.0        # 0.3
+    mean: float = 0.5
+    std: float = 0.5
+
+
+def _affine_sample(img, mat, out_size: int):
+    """Bilinear-sample ``img`` (H, W, C) at coords ``mat @ (x_out, y_out, 1)``
+    with zero fill outside — matches torchvision rotate/crop conventions
+    (center-based coordinates)."""
+    h, w, _ = img.shape
+    ys = jnp.arange(out_size, dtype=jnp.float32)
+    xs = jnp.arange(out_size, dtype=jnp.float32)
+    grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")
+    ones = jnp.ones_like(grid_x)
+    coords = jnp.stack([grid_x, grid_y, ones], axis=-1)      # (O, O, 3)
+    src = coords @ mat.T                                      # (O, O, 2) -> x, y
+    sx, sy = src[..., 0], src[..., 1]
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = sx - x0
+    fy = sy - y0
+
+    def gather(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = img[yc, xc]                                    # (O, O, C)
+        return vals * inb[..., None]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    fx = fx[..., None]
+    fy = fy[..., None]
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
+def _one_affine(key, in_h, in_w, cfg: AugmentConfig):
+    """Sample one inverse affine map out-pixel -> source-pixel: composition of
+    (resize-from-crop) o (rotation about center) o (optional hflip)."""
+    k_rot, k_scale, k_ratio, k_pos, k_flip = jax.random.split(key, 5)
+
+    # crop box in source coordinates
+    if cfg.resized_crop:
+        area = in_h * in_w
+        scale = jax.random.uniform(k_scale, (), minval=cfg.crop_scale[0],
+                                   maxval=cfg.crop_scale[1])
+        log_ratio = jax.random.uniform(
+            k_ratio, (), minval=math.log(cfg.crop_ratio[0]),
+            maxval=math.log(cfg.crop_ratio[1]))
+        ratio = jnp.exp(log_ratio)
+        cw = jnp.clip(jnp.sqrt(area * scale * ratio), 1.0, in_w)
+        ch = jnp.clip(jnp.sqrt(area * scale / ratio), 1.0, in_h)
+        u = jax.random.uniform(k_pos, (2,))
+        cx0 = u[0] * (in_w - cw)
+        cy0 = u[1] * (in_h - ch)
+    else:
+        cw, ch = float(in_w), float(in_h)
+        cx0 = cy0 = 0.0
+
+    # out pixel -> crop coords (scale), crop coords -> source (translate)
+    sx = cw / cfg.out_size
+    sy = ch / cfg.out_size
+
+    # rotation about the image center (inverse map: rotate by +theta)
+    theta = jax.random.uniform(k_rot, (), minval=-cfg.degrees, maxval=cfg.degrees)
+    t = theta * (math.pi / 180.0)
+    cos, sin = jnp.cos(t), jnp.sin(t)
+    cx = (in_w - 1) / 2.0
+    cy = (in_h - 1) / 2.0
+
+    # hflip in output space
+    flip = (jax.random.uniform(k_flip, ()) < 0.5) if cfg.hflip else jnp.asarray(False)
+    fsign = jnp.where(flip, -1.0, 1.0)
+    foff = jnp.where(flip, cfg.out_size - 1.0, 0.0)
+
+    # compose: p_out -> hflip -> scale+translate into crop -> rotate about center
+    # affine rows map (x, y, 1) -> (x_src, y_src)
+    a11 = cos * fsign * sx
+    a12 = -sin * sy
+    a13 = cos * (foff * sx + cx0 - cx) - sin * (cy0 - cy) + cx
+    a21 = sin * fsign * sx
+    a22 = cos * sy
+    a23 = sin * (foff * sx + cx0 - cx) + cos * (cy0 - cy) + cy
+    return jnp.asarray([[a11, a12, a13], [a21, a22, a23]])
+
+
+def _color_jitter(key, img, cfg: AugmentConfig):
+    """torchvision ColorJitter factors: U(max(0, 1-j), 1+j); gray = ITU-R 601
+    luma as in torchvision ``rgb_to_grayscale``."""
+    k_b, k_c, k_s = jax.random.split(key, 3)
+    if cfg.brightness:
+        f = jax.random.uniform(k_b, (), minval=max(0.0, 1 - cfg.brightness),
+                               maxval=1 + cfg.brightness)
+        img = img * f
+    if cfg.contrast:
+        f = jax.random.uniform(k_c, (), minval=max(0.0, 1 - cfg.contrast),
+                               maxval=1 + cfg.contrast)
+        gray_mean = jnp.mean(
+            0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+        img = f * img + (1 - f) * gray_mean
+    if cfg.saturation:
+        f = jax.random.uniform(k_s, (), minval=max(0.0, 1 - cfg.saturation),
+                               maxval=1 + cfg.saturation)
+        gray = (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                + 0.114 * img[..., 2])[..., None]
+        img = f * img + (1 - f) * gray
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def augment_batch(key, images_u8, cfg: AugmentConfig):
+    """uint8 NHWC batch -> augmented, normalized float NHWC in [-1, 1]."""
+    n, h, w, _ = images_u8.shape
+    imgs = images_u8.astype(jnp.float32) / 255.0
+    keys = jax.random.split(key, n * 2).reshape(n, 2)
+
+    def one(img, ks):
+        mat = _one_affine(ks[0], h, w, cfg)
+        out = _affine_sample(img, mat, cfg.out_size)
+        out = _color_jitter(ks[1], out, cfg)
+        return out
+
+    out = jax.vmap(one)(imgs, keys)
+    return (out - cfg.mean) / cfg.std
+
+
+def normalize_batch(images_u8, out_size: Optional[int] = None,
+                    mean: float = 0.5, std: float = 0.5):
+    """Test-path transform: optional resize + Normalize(0.5, 0.5)
+    (``t_est_train.py:99-103``)."""
+    from weather_unet_tpu.ops.resize import resize_bilinear_torch
+
+    imgs = images_u8.astype(jnp.float32) / 255.0
+    if out_size is not None and imgs.shape[1] != out_size:
+        imgs = resize_bilinear_torch(imgs, out_size, out_size)
+    return (imgs - mean) / std
