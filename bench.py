@@ -27,11 +27,16 @@ def main():
     import jax.numpy as jnp
     from weather_unet_tpu.models import ConditionalUNet
 
-    batch, size = 16, 256
+    batch, size = 32, 256
     model = ConditionalUNet(num_classes=5, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.standard_normal((batch, size, size, 3)).astype(np.float32))
-    conds = jnp.asarray(np.eye(5, dtype=np.float32)[rng.integers(0, 5, batch)])
+    # bf16 inputs: chaining output->input below must keep one compiled shape/dtype
+    images = jnp.asarray(
+        rng.standard_normal((batch, size, size, 3)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    conds = jnp.asarray(
+        np.eye(5, dtype=np.float32)[rng.integers(0, 5, batch)]
+    ).astype(jnp.bfloat16)
     variables = model.init(jax.random.key(0), images[:1], conds[:1])
 
     @jax.jit

@@ -1,0 +1,136 @@
+"""Evaluation-layer tests: FID math, Inception structure, IS, transfer evals."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from weather_unet_tpu.evaluation.fid import (
+    compute_statistics, fid_from_activations, frechet_distance)
+from weather_unet_tpu.evaluation.inception_score import inception_score_from_probs
+from weather_unet_tpu.models.inception_fid import InceptionV3FID, avg_pool_3x3_s1
+
+
+def test_avg_pool_count_include_pad_matches_torch(rng):
+    import torch
+    import torch.nn.functional as F
+
+    x = rng.standard_normal((2, 9, 9, 4)).astype(np.float32)
+    ours = np.asarray(avg_pool_3x3_s1(jnp.asarray(x), count_include_pad=False))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    theirs = F.avg_pool2d(xt, 3, stride=1, padding=1, count_include_pad=False)
+    np.testing.assert_allclose(ours, theirs.permute(0, 2, 3, 1).numpy(), atol=1e-6)
+
+    ours_inc = np.asarray(avg_pool_3x3_s1(jnp.asarray(x), count_include_pad=True))
+    theirs_inc = F.avg_pool2d(xt, 3, stride=1, padding=1, count_include_pad=True)
+    np.testing.assert_allclose(ours_inc, theirs_inc.permute(0, 2, 3, 1).numpy(),
+                               atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def inception():
+    model = InceptionV3FID()
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+    return model, variables
+
+
+def test_inception_pool3_shape(inception):
+    model, variables = inception
+    x = jnp.zeros((2, 299, 299, 3))
+    out = model.apply(variables, x)
+    assert out.shape == (2, 2048)
+
+
+def test_inception_resizes_input(inception):
+    model, variables = inception
+    out = model.apply(variables, jnp.zeros((1, 224, 224, 3)))
+    assert out.shape == (1, 2048)
+
+
+def test_inception_structure_channel_counts(inception):
+    """Mixed-block output channel widths must match torchvision InceptionV3
+    (256/288/288 -> 768x4 -> 1280/2048/2048)."""
+    _, variables = inception
+    p = variables["params"]
+    # Mixed_5b input 192: 64 + 64 + 96 + 32 = 256
+    assert p["Mixed_5b"]["branch_pool"]["conv"]["kernel"].shape == (1, 1, 192, 32)
+    assert p["Mixed_5c"]["branch1x1"]["conv"]["kernel"].shape[2] == 256
+    assert p["Mixed_5d"]["branch1x1"]["conv"]["kernel"].shape[2] == 288
+    assert p["Mixed_6a"]["branch3x3"]["conv"]["kernel"].shape[2] == 288
+    assert p["Mixed_6b"]["branch1x1"]["conv"]["kernel"].shape[2] == 768
+    assert p["Mixed_7a"]["branch3x3_1"]["conv"]["kernel"].shape[2] == 768
+    assert p["Mixed_7b"]["branch1x1"]["conv"]["kernel"].shape[2] == 1280
+    assert p["Mixed_7c"]["branch1x1"]["conv"]["kernel"].shape[2] == 2048
+
+
+def test_frechet_distance_identity():
+    mu = np.zeros(4)
+    sigma = np.eye(4)
+    assert abs(frechet_distance(mu, sigma, mu, sigma)) < 1e-8
+
+
+def test_frechet_distance_analytic():
+    """1-D Gaussians: d^2 = (m1-m2)^2 + (s1-s2)^2 for variances s1^2, s2^2."""
+    d = frechet_distance(np.array([1.0]), np.array([[4.0]]),
+                         np.array([3.0]), np.array([[9.0]]))
+    np.testing.assert_allclose(d, (1 - 3) ** 2 + (2 - 3) ** 2, rtol=1e-6)
+
+
+def test_fid_from_activations_sanity(rng):
+    a = rng.standard_normal((500, 16)).astype(np.float64)
+    b = rng.standard_normal((500, 16)).astype(np.float64) + 2.0
+    same = fid_from_activations(a, a.copy())
+    diff = fid_from_activations(a, b)
+    assert same < 1e-6
+    assert diff > 10.0
+
+
+def test_inception_score_uniform_is_one():
+    probs = np.full((100, 10), 0.1)
+    mean, std = inception_score_from_probs(probs, splits=5)
+    np.testing.assert_allclose(mean, 1.0, rtol=1e-5)
+
+
+def test_inception_score_confident_is_high():
+    probs = np.tile(np.eye(10), (10, 1))  # perfectly confident, uniform marginal
+    mean, _ = inception_score_from_probs(probs, splits=5)
+    assert mean > 9.0
+
+
+def test_class_transfer_consistency_pipeline(rng):
+    """End-to-end: cUNet + stub classifier through the eval pipeline."""
+    from weather_unet_tpu.evaluation.transfer import (
+        class_transfer_consistency, classification_report_dict)
+    from weather_unet_tpu.models import ConditionalUNet
+
+    model = ConditionalUNet(num_classes=5)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, jnp.zeros((4, 5)))
+
+    w = jnp.asarray(rng.standard_normal((3, 5)).astype(np.float32))
+    classify = lambda imgs: jnp.mean(imgs, axis=(1, 2)) @ w
+
+    y_true, y_pred = class_transfer_consistency(
+        model, variables, classify, [x], num_classes=5)
+    assert y_true.shape == y_pred.shape == (20,)
+    out = classification_report_dict(y_true, y_pred,
+                                     ["sunny", "cloudy", "rain", "snow", "foggy"])
+    assert out["confusion_matrix"].shape == (5, 5)
+    assert "accuracy" in out["report"]
+
+
+def test_estimator_transfer_consistency_pipeline(rng):
+    from weather_unet_tpu.evaluation.transfer import estimator_transfer_consistency
+    from weather_unet_tpu.models import ConditionalUNet
+
+    model = ConditionalUNet(num_classes=5)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    conds = jnp.asarray(rng.standard_normal((4, 5)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x, conds)
+    w = jnp.asarray(rng.standard_normal((3, 5)).astype(np.float32))
+    estimate = lambda imgs: jnp.mean(imgs, axis=(1, 2)) @ w
+
+    out = estimator_transfer_consistency(
+        model, variables, estimate, [(x, conds)], sigma=np.ones(5) * 2.0)
+    assert out["l1_mean"].shape == (5,)
+    np.testing.assert_allclose(out["l1_mean_denorm"], out["l1_mean"] * 2.0)

@@ -1,0 +1,100 @@
+"""Shared CLI plumbing: checkpoint/model loading, image IO, dataset builders."""
+
+from __future__ import annotations
+
+import os
+from glob import glob
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from weather_unet_tpu.compat import torch_io
+from weather_unet_tpu.data.datasets import SIGNAL_COLUMNS
+from weather_unet_tpu.models import ConditionalUNet, ResNet101
+from weather_unet_tpu.train import checkpoint as ckpt
+
+
+def load_transfer(cp_path: str, num_classes: int = 5, dtype=jnp.float32):
+    """Load a cUNet from either our msgpack checkpoint or a reference
+    ``.pt`` GAN bundle (``sd['inference']`` — ``demo.py:51-54``).
+
+    Returns (model, variables)."""
+    model = ConditionalUNet(num_classes=num_classes, dtype=dtype)
+    if cp_path.endswith((".pt", ".pth")):
+        bundle = torch_io.load_torch_file(cp_path)
+        variables = torch_io.cunet_from_torch(bundle["inference"])
+    else:
+        x = jnp.zeros((1, 64, 64, 3))
+        c = jnp.zeros((1, num_classes))
+        target = model.init(jax.random.key(0), x, c)
+        state = ckpt.restore_checkpoint(cp_path, None)
+        # our GAN checkpoints store the full GanTrainState dict
+        if isinstance(state, dict) and "gen" in state:
+            variables = {"params": state["gen"]["params"]}
+        else:
+            variables = target
+    return model, variables
+
+
+def load_estimator(path: str, num_classes: int = 5, dtype=jnp.float32,
+                   softmax: bool = False):
+    """Load the frozen ResNet-101 weather net from a reference whole-model
+    pickle (``t_est_train.py:165``) or our msgpack; returns a jitted
+    ``apply(images) -> (B, num_classes)`` (eval mode, running BN stats)."""
+    model = ResNet101(num_classes=num_classes, dtype=dtype)
+    if path.endswith((".pt", ".pth")):
+        sd = torch_io.load_torch_file(path)
+        variables = torch_io.resnet_from_torch(sd)
+    else:
+        state = ckpt.restore_checkpoint(path, None)
+        variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+
+    @jax.jit
+    def apply(images):
+        out = model.apply(variables, images, train=False)
+        return jax.nn.softmax(out, axis=1) if softmax else out
+
+    return apply
+
+
+def save_image(path: str, images: np.ndarray, nrow: int = 8,
+               normalize: bool = True):
+    """torchvision ``save_image`` equivalent for NHWC arrays (min-max
+    normalized over the whole tensor when ``normalize``, as
+    ``inf_transfer_c.py:119-121`` uses)."""
+    from PIL import Image
+
+    from weather_unet_tpu.train.metrics import make_grid
+
+    images = np.asarray(images, dtype=np.float32)
+    grid = make_grid(images, nrow=min(nrow, len(images)),
+                     normalize=normalize, scale_each=False)
+    Image.fromarray((grid * 255.0 + 0.5).clip(0, 255).astype(np.uint8)).save(path)
+
+
+def denorm_tanh(images: np.ndarray) -> np.ndarray:
+    """``(res + 1) * 127.5`` uint8 denorm (``demo.py:80``)."""
+    return ((np.asarray(images) + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+
+
+def list_images(root: str) -> list:
+    exts = (".jpg", ".jpeg", ".png")
+    return sorted(
+        p for p in glob(os.path.join(root, "*")) if p.lower().endswith(exts))
+
+
+def load_flickr_frame(pkl_path: str, columns: Sequence[str] = SIGNAL_COLUMNS,
+                      stats_pkl: Optional[str] = None):
+    """Read a dataframe pickle and z-score the signal columns against
+    ``stats_pkl`` (the reference's without-outlier frame,
+    ``t_est_train.py:126-131``) or itself."""
+    import pandas as pd
+
+    from weather_unet_tpu.data.datasets import zscore_columns
+
+    df = pd.read_pickle(pkl_path)
+    stats_df = pd.read_pickle(stats_pkl) if stats_pkl else None
+    df, mean, std = zscore_columns(df, columns, stats_df=stats_df)
+    return df, mean, std

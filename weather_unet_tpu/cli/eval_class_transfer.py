@@ -1,0 +1,84 @@
+"""Class-transfer consistency eval — rebuild of ``eval/eval_class_transfer.py``.
+
+Translates the test set to all 5 classes, re-classifies the outputs with the
+frozen classifier, prints a classification report and writes the confusion
+matrix (``cm.pkl``) and heatmap (``pr_table.png``)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="class-transfer consistency")
+    p.add_argument("--gpu", type=str, default="0", help="parity flag; ignored")
+    p.add_argument("--image_root", type=str, default=None)
+    p.add_argument("--pkl_path", type=str, required=True,
+                   help="i2w split pickle (uses the 'test' list)")
+    p.add_argument("--cp_path", type=str, required=True)
+    p.add_argument("--classifier_path", type=str, required=True)
+    p.add_argument("--output_dir", type=str, default="eval_out")
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_workers", type=int, default=4)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import numpy as np
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from weather_unet_tpu.cli.common import load_estimator, load_transfer
+    from weather_unet_tpu.data.datasets import ClassImageDataset, WEATHER_CLASSES_I2W
+    from weather_unet_tpu.data.pipeline import BatchLoader, device_prefetch
+    from weather_unet_tpu.data.transforms import normalize_batch
+    from weather_unet_tpu.evaluation.transfer import (
+        class_transfer_consistency, classification_report_dict)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    model, variables = load_transfer(args.cp_path)
+    classify = load_estimator(args.classifier_path)
+
+    sep = pd.read_pickle(args.pkl_path)
+    test_set = ClassImageDataset(sep["test"], out_size=args.input_size)
+    loader = BatchLoader(test_set, batch_size=args.batch_size, drop_last=True,
+                         num_workers=args.num_workers)
+    batches = (normalize_batch(jnp.asarray(b[0]))
+               for b in device_prefetch(loader, device_fields=[0]))
+
+    y_true, y_pred = class_transfer_consistency(model, variables, classify, batches)
+    out = classification_report_dict(y_true, y_pred, WEATHER_CLASSES_I2W)
+
+    from sklearn.metrics import classification_report
+
+    print(classification_report(y_true, y_pred,
+                                labels=list(range(5)),
+                                target_names=WEATHER_CLASSES_I2W, zero_division=0))
+    with open(os.path.join(args.output_dir, "cm.pkl"), "wb") as f:
+        pickle.dump(out["confusion_matrix"], f)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        import seaborn as sns
+
+        fig, ax = plt.subplots(figsize=(6, 5))
+        sns.heatmap(out["confusion_matrix"], annot=True, fmt="d",
+                    xticklabels=WEATHER_CLASSES_I2W,
+                    yticklabels=WEATHER_CLASSES_I2W, ax=ax)
+        ax.set_xlabel("predicted")
+        ax.set_ylabel("requested")
+        fig.savefig(os.path.join(args.output_dir, "pr_table.png"),
+                    bbox_inches="tight")
+    except Exception as e:  # plotting is best-effort
+        print(f"heatmap skipped: {e}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

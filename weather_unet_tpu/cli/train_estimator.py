@@ -1,0 +1,103 @@
+"""Train the ResNet-101 weather-signal estimator.
+
+Rebuild of reference ``estimator.py`` (flags ``estimator.py:9-27``): per-column
+MSE with backward(ones) semantics, imbalanced sampler on the train split,
+z-scoring by train-split stats, eval sweep every 100 iterations, checkpoint
+every 5 epochs.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="train weather estimator")
+    p.add_argument("--image_root", type=str, required=True)
+    p.add_argument("--pkl_path", type=str, required=True)
+    p.add_argument("--save_path", type=str, default="cp/estimator/single")
+    p.add_argument("--name", type=str, default="noname-estimator")
+    p.add_argument("--gpu", type=str, default="0", help="parity flag; ignored")
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--wd", type=float, default=1e-5)
+    p.add_argument("--num_epoch", type=int, default=100)
+    p.add_argument("--batch_size", "-bs", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--mode", type=str, default="T", help="T(train) or E(eval split)")
+    p.add_argument("--multi", action="store_true",
+                   help="parity flag; data-parallel over the mesh is always on")
+    p.add_argument("--augmentation", action="store_true")
+    p.add_argument("--pre_trained", action="store_true",
+                   help="freeze backbone through layer3 (estimator.py:145-153)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from weather_unet_tpu.core.optim import torch_adam
+    from weather_unet_tpu.core.state import TrainState
+    from weather_unet_tpu.data.datasets import FlickrDataset, SIGNAL_COLUMNS, zscore_columns
+    from weather_unet_tpu.data.pipeline import BatchLoader
+    from weather_unet_tpu.data.sampler import ImbalancedSampler
+    from weather_unet_tpu.data.transforms import AugmentConfig
+    from weather_unet_tpu.models import ResNet101
+    from weather_unet_tpu.train.loops import train_supervised
+    from weather_unet_tpu.train.metrics import SummaryWriter, run_comment
+    from weather_unet_tpu.train.supervised import (
+        make_estimator_step, make_eval_metrics, resnet_pretrained_mask)
+
+    import pandas as pd
+
+    df = pd.read_pickle(args.pkl_path)
+    stats = df[df["mode"] == "train"]
+    df, _, _ = zscore_columns(df, SIGNAL_COLUMNS, stats_df=stats)
+    if args.mode == "T":
+        sep = {"train": df[df["mode"] == "train"], "test": df[df["mode"] == "test"]}
+    elif args.mode == "E":
+        sep = {"train": df[df["mode"] == "val"], "test": df[df["mode"] == "test"]}
+    else:
+        raise NotImplementedError(args.mode)
+
+    base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
+    train_set = FlickrDataset(args.image_root, sep["train"], SIGNAL_COLUMNS,
+                              out_size=base, class_id=None, imbalance=True)
+    test_set = FlickrDataset(args.image_root, sep["test"], SIGNAL_COLUMNS,
+                             out_size=args.input_size)
+
+    model = ResNet101(num_classes=len(SIGNAL_COLUMNS))
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, args.input_size, args.input_size, 3)))
+    mask = resnet_pretrained_mask(variables["params"]) if args.pre_trained else None
+    state = TrainState.create(
+        variables["params"], torch_adam(args.lr, weight_decay=args.wd),
+        extra=variables["batch_stats"])
+
+    # drop trailing metadata fields: loaders yield (img, cond, photo_id)
+    def train_loader():
+        return BatchLoader(train_set, batch_size=args.batch_size,
+                           sampler=ImbalancedSampler(train_set),
+                           num_workers=args.num_workers)
+
+    def test_loader():
+        return BatchLoader(test_set, batch_size=args.batch_size,
+                           num_workers=args.num_workers)
+
+    writer = SummaryWriter(comment=run_comment(
+        args.lr, args.batch_size, args.num_epoch, args.name))
+    aug = AugmentConfig(out_size=args.input_size, resized_crop=args.augmentation,
+                        brightness=0.5 if args.augmentation else 0.0,
+                        contrast=0.3 if args.augmentation else 0.0,
+                        saturation=0.3 if args.augmentation else 0.0)
+    train_supervised(
+        model, make_estimator_step(model, mask), make_eval_metrics(model, "estimator"),
+        train_loader, test_loader, state=state, num_epoch=args.num_epoch,
+        writer=writer, augment_cfg=aug, save_dir=args.save_path, name=args.name)
+    print("Done: training")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""GAN transfer training with class conditions (classifier variant).
+
+Rebuild of reference ``t_cls_train.py``: one-hot (supervised) or
+classifier-softmax (semi-supervised) conditions over 5 weather classes, on the
+i2w directory dataset or the flickr dataframe (``t_cls_train.py:110-144``).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="train weather transfer (classifier)")
+    p.add_argument("--image_root", type=str, required=True)
+    p.add_argument("--name", type=str, default="cUNet")
+    p.add_argument("--gpu", type=str, default="0", help="parity flag; ignored")
+    p.add_argument("--save_dir", type=str, default="cp/transfer")
+    p.add_argument("--pkl_path", type=str, required=True)
+    p.add_argument("--estimator_path", type=str, required=True,
+                   help="frozen classifier .pt / msgpack")
+    p.add_argument("--dataset", type=str, default="flicker", choices=["flicker", "i2w"])
+    p.add_argument("--supervised", action="store_true")
+    p.add_argument("--cross_ent", action="store_true")
+    p.add_argument("--one_hot", action="store_true")
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lmda", type=float, default=None)
+    p.add_argument("--num_epoch", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--GD_train_ratio", type=int, default=1)
+    p.add_argument("--sampler", action="store_true")
+    p.add_argument("--augmentation", action="store_true")
+    p.add_argument("--image_only", action="store_true")
+    p.add_argument("--export_torch", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax.numpy as jnp
+
+    from weather_unet_tpu.cli.common import load_estimator
+    from weather_unet_tpu.data.datasets import (
+        ClassImageDataset, FlickrDataset, SIGNAL_COLUMNS)
+    from weather_unet_tpu.data.pipeline import BatchLoader
+    from weather_unet_tpu.data.sampler import ImbalancedSampler
+    from weather_unet_tpu.data.transforms import normalize_batch
+    from weather_unet_tpu.train.gan import GanConfig
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    cfg = GanConfig(
+        num_classes=5, lr=args.lr, input_size=args.input_size,
+        batch_size=args.batch_size, gd_train_ratio=args.GD_train_ratio,
+        mode="cls", supervised=args.supervised, cross_ent=args.cross_ent,
+        dataset=args.dataset, lmda=args.lmda, num_epoch=args.num_epoch)
+
+    est_apply = load_estimator(args.estimator_path)  # raw logits; gan step softmaxes
+
+    import pandas as pd
+
+    base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
+    if args.dataset == "i2w":
+        sep = pd.read_pickle(args.pkl_path)  # {'train': paths, 'test': paths}
+        mk = lambda split: ClassImageDataset(sep[split], out_size=base)
+        train_set = mk("train")
+        test_set = ClassImageDataset(sep["test"], out_size=args.input_size)
+    else:
+        df = pd.read_pickle(args.pkl_path).sample(frac=1)
+        mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
+                                          out_size=base, class_id=False,
+                                          imbalance=imb)
+        train_set = mk(df[df["mode"] == "train"], args.sampler)
+        test_set = FlickrDataset(args.image_root, df[df["mode"] == "test"],
+                                 SIGNAL_COLUMNS, out_size=args.input_size,
+                                 class_id=False)
+
+    def train_loader():
+        return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
+                           num_workers=args.num_workers)
+
+    def random_loader():
+        if args.sampler:
+            return BatchLoader(train_set, batch_size=args.batch_size,
+                               sampler=ImbalancedSampler(train_set),
+                               num_workers=args.num_workers)
+        return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
+                           seed=1, num_workers=args.num_workers)
+
+    test_batches = None
+    if len(test_set) >= 2 * args.batch_size:
+        it = iter(BatchLoader(test_set, batch_size=args.batch_size, shuffle=True,
+                              num_workers=args.num_workers))
+        tb = []
+        for _ in range(2):
+            imgs_u8, cls_ids = next(it)[:2]
+            labels = jnp.eye(5)[jnp.asarray(cls_ids)]  # t_cls_train.py:327-329
+            tb.append((normalize_batch(jnp.asarray(imgs_u8)), labels))
+        test_batches = tuple(tb)
+
+    trainer = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=args.save_dir, name=args.name,
+        augment=args.augmentation, export_torch=args.export_torch)
+    trainer.fit(train_loader, random_loader, test_batches=test_batches,
+                labeled=True)
+
+
+if __name__ == "__main__":
+    main()

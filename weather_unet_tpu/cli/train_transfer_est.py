@@ -1,0 +1,103 @@
+"""Semi-supervised GAN transfer training with the signal estimator.
+
+Rebuild of reference ``t_est_train.py`` (flag parity with
+``t_est_train.py:4-30``): conditions are the 5 soft z-scored weather signals
+predicted by a frozen ResNet-101 estimator; content and random-condition
+streams are two loaders over the train split zipped per step.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="train weather transfer (estimator)")
+    p.add_argument("--image_root", type=str, required=True)
+    p.add_argument("--name", type=str, default="cUNet")
+    p.add_argument("--gpu", type=str, default="0", help="parity flag; ignored")
+    p.add_argument("--save_dir", type=str, default="cp/transfer")
+    p.add_argument("--pkl_path", type=str, required=True)
+    p.add_argument("--stats_pkl", type=str, default=None,
+                   help="without-outlier frame for z-scoring (t_est_train.py:126)")
+    p.add_argument("--estimator_path", type=str, required=True)
+    p.add_argument("--input_size", type=int, default=224)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lmda", type=float, default=None)
+    p.add_argument("--num_epoch", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--GD_train_ratio", type=int, default=1)
+    p.add_argument("--sampler", action="store_true")
+    p.add_argument("--augmentation", action="store_true")
+    p.add_argument("--image_only", action="store_true")
+    p.add_argument("--export_torch", action="store_true",
+                   help="also write reference-format .pt checkpoints")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from weather_unet_tpu.cli.common import load_estimator, load_flickr_frame
+    from weather_unet_tpu.data.datasets import FlickrDataset, SIGNAL_COLUMNS
+    from weather_unet_tpu.data.pipeline import BatchLoader
+    from weather_unet_tpu.data.sampler import ImbalancedSampler
+    from weather_unet_tpu.data.transforms import normalize_batch
+    from weather_unet_tpu.train.gan import GanConfig
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    cfg = GanConfig(
+        num_classes=len(SIGNAL_COLUMNS), lr=args.lr,
+        input_size=args.input_size, batch_size=args.batch_size,
+        gd_train_ratio=args.GD_train_ratio, mode="est",
+        lmda=args.lmda, num_epoch=args.num_epoch)
+
+    est_apply = load_estimator(args.estimator_path)
+
+    df, _, _ = load_flickr_frame(args.pkl_path, stats_pkl=args.stats_pkl)
+    df = df.sample(frac=1)
+    train_df = df[df["mode"] == "train"]
+    test_df = df[df["mode"] == "test"]
+    base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
+    mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
+                                      out_size=base, imbalance=imb)
+    train_set = mk(train_df, False)
+
+    def train_loader():
+        return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
+                           num_workers=args.num_workers)
+
+    def random_loader():
+        if args.sampler:
+            imb_set = mk(train_df, True)
+            return BatchLoader(imb_set, batch_size=args.batch_size,
+                               sampler=ImbalancedSampler(imb_set),
+                               num_workers=args.num_workers)
+        return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
+                           seed=1, num_workers=args.num_workers)
+
+    # two cached test batches (t_est_train.py:198-207)
+    test_batches = None
+    if len(test_df) >= 2 * args.batch_size:
+        test_set = FlickrDataset(args.image_root, test_df, SIGNAL_COLUMNS,
+                                 out_size=args.input_size)
+        it = iter(BatchLoader(test_set, batch_size=args.batch_size, shuffle=True,
+                              num_workers=args.num_workers))
+        tb = []
+        for _ in range(2):
+            imgs_u8, conds, _ = next(it)
+            tb.append((normalize_batch(jnp.asarray(imgs_u8)),
+                       jnp.asarray(conds)))
+        test_batches = tuple(tb)
+
+    trainer = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=args.save_dir, name=args.name,
+        augment=args.augmentation, export_torch=args.export_torch)
+    trainer.fit(train_loader, random_loader, test_batches=test_batches)
+
+
+if __name__ == "__main__":
+    main()

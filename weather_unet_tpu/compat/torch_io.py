@@ -239,3 +239,42 @@ def gan_checkpoint_from_torch(path: str) -> Dict[str, Any]:
         "epoch": int(obj.get("epoch", 0)),
         "global_step": int(obj.get("global_step", 0)),
     }
+
+
+# ---------------------------------------------------------------- Inception (FID)
+
+def inception_from_torch(sd) -> Dict[str, Any]:
+    """TF-ported FID InceptionV3 checkpoint (pytorch-fid layout:
+    ``Mixed_5b.branch1x1.conv.weight`` / ``...bn.{weight,bias,running_*}``)
+    → Flax variables for ``models.inception_fid.InceptionV3FID``.
+
+    The 1008-way ``fc`` head of the TF port is dropped (FID uses pool3 only).
+    """
+    sd = _state_dict_np(sd)
+    p: Dict[str, Any] = {}
+    bs: Dict[str, Any] = {}
+
+    def set_in(tree, path, leaf):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = leaf
+
+    for key, val in sd.items():
+        parts = key.split(".")
+        if parts[0] == "fc":
+            continue
+        if parts[-2] == "conv" and parts[-1] == "weight":
+            set_in(p, parts[:-1] + ["kernel"], _conv_in(val))
+        elif parts[-2] == "bn":
+            field = parts[-1]
+            if field == "weight":
+                set_in(p, parts[:-1] + ["scale"], val)
+            elif field == "bias":
+                set_in(p, parts[:-1] + ["bias"], val)
+            elif field == "running_mean":
+                set_in(bs, parts[:-1] + ["mean"], val)
+            elif field == "running_var":
+                set_in(bs, parts[:-1] + ["var"], val)
+        # num_batches_tracked ignored
+    return {"params": p, "batch_stats": bs}

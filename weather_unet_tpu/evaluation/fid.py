@@ -1,0 +1,124 @@
+"""Fréchet Inception Distance — rebuild of reference ``eval/fid_score.py``.
+
+On-device batched InceptionV3 pool3 activations (``fid_score.py:75-135``),
+host-side mean/covariance (``fid_score.py:195-217``) and the numerically
+stabilized matrix-sqrt Fréchet distance (eps-jitter fallback when the product
+is singular, ``fid_score.py:138-192``).  Accepts image directories or
+precomputed ``.npz`` stats like the reference CLI.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def get_activations(images_iter, feature_fn, *, verbose: bool = False) -> np.ndarray:
+    """Run batches of [0,1] float NHWC images through ``feature_fn`` (jitted
+    InceptionV3FID apply) and collect pool3 activations on host."""
+    feats = []
+    for batch in images_iter:
+        feats.append(np.asarray(feature_fn(batch)))
+    return np.concatenate(feats, axis=0)
+
+
+def compute_statistics(activations: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """(mu, sigma) of the activation set (``fid_score.py:195-217``)."""
+    mu = np.mean(activations, axis=0)
+    sigma = np.cov(activations, rowvar=False)
+    return mu, sigma
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """d^2 = |mu1-mu2|^2 + Tr(S1 + S2 - 2 sqrt(S1 S2)), with the reference's
+    jitter fallback for singular products (``fid_score.py:138-192``)."""
+    from scipy import linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+
+    def _sqrtm(m):
+        try:
+            out = linalg.sqrtm(m, disp=False)
+        except TypeError:  # scipy >= 1.17 dropped disp/errest
+            out = linalg.sqrtm(m)
+        return out[0] if isinstance(out, tuple) else out
+
+    covmean = _sqrtm(sigma1.dot(sigma2))
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = _sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def fid_from_activations(act1: np.ndarray, act2: np.ndarray) -> float:
+    mu1, s1 = compute_statistics(act1)
+    mu2, s2 = compute_statistics(act2)
+    return frechet_distance(mu1, s1, mu2, s2)
+
+
+def _image_batches(files, batch_size: int, size: Optional[int] = None):
+    """Yield [0,1] float NHWC batches from image files (``fid_score.py:105-118``
+    reads with imread/255)."""
+    from PIL import Image
+
+    for i in range(0, len(files), batch_size):
+        chunk = files[i:i + batch_size]
+        imgs = []
+        for f in chunk:
+            with Image.open(f) as im:
+                im = im.convert("RGB")
+                if size is not None:
+                    im = im.resize((size, size), Image.BILINEAR)
+                imgs.append(np.asarray(im, dtype=np.float32) / 255.0)
+        yield np.stack(imgs)
+
+
+def statistics_of_path(path: str, feature_fn, batch_size: int = 50,
+                       size: Optional[int] = None):
+    """Stats for a directory of jpg/png, or a precomputed ``.npz`` with
+    ``mu``/``sigma`` keys (``fid_score.py:220-231``)."""
+    if path.endswith(".npz"):
+        with np.load(path) as f:
+            return f["mu"][:], f["sigma"][:]
+    p = pathlib.Path(path)
+    files = sorted(str(f) for ext in ("*.jpg", "*.jpeg", "*.png")
+                   for f in p.glob(ext))
+    if not files:
+        raise RuntimeError(f"no images found under {path}")
+    acts = get_activations(_image_batches(files, batch_size, size), feature_fn)
+    return compute_statistics(acts)
+
+
+def make_feature_fn(weights_path: Optional[str] = None, dtype=None):
+    """Build a jitted pool3 feature extractor.  ``weights_path`` is a local
+    copy of the TF-ported FID checkpoint (.pth) — random init otherwise
+    (structure-only; documented, since this environment has no egress)."""
+    import jax
+    import jax.numpy as jnp
+
+    from weather_unet_tpu.models.inception_fid import InceptionV3FID
+
+    model = InceptionV3FID(dtype=dtype or jnp.float32)
+    if weights_path:
+        from weather_unet_tpu.compat.torch_io import inception_from_torch, load_torch_file
+
+        variables = inception_from_torch(load_torch_file(weights_path))
+    else:
+        variables = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+
+    @jax.jit
+    def feature_fn(images):
+        return model.apply(variables, jnp.asarray(images, jnp.float32))
+
+    return feature_fn

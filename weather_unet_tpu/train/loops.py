@@ -1,0 +1,226 @@
+"""High-level training loops tying steps, data, checkpoints and metrics
+together — the TPU-native counterpart of the reference's ``WeatherTransfer``
+driver class (``t_est_train.py:59-400``) and the flat classifier/estimator
+scripts.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Callable, Iterable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from weather_unet_tpu.core.optim import torch_adam
+from weather_unet_tpu.core.state import GanTrainState, TrainState
+from weather_unet_tpu.data.pipeline import BatchLoader, device_prefetch
+from weather_unet_tpu.data.transforms import AugmentConfig, augment_batch, normalize_batch
+from weather_unet_tpu.parallel.mesh import MeshPlan, make_mesh
+from weather_unet_tpu.train import checkpoint as ckpt
+from weather_unet_tpu.train.gan import (
+    GanConfig, build_gan_state, make_gan_step, make_eval_step,
+)
+from weather_unet_tpu.train.metrics import SummaryWriter, image_table, run_comment
+
+
+class WeatherTransferTrainer:
+    """GAN weather-transfer training (reference ``t_est_train.py`` /
+    ``t_cls_train.py`` drivers).
+
+    ``est_apply(images) -> (B, num_classes)`` is the frozen weather net's raw
+    output (signals or logits).  Cadences match the reference: checkpoint +
+    eval every 1000 steps, summaries every 1000 steps, GD ratio gating
+    (``t_est_train.py:350-399``).
+    """
+
+    EVAL_PER_STEP = 1000
+    DISPLAY_PER_STEP = 1000
+
+    def __init__(self, cfg: GanConfig, est_apply: Callable, *,
+                 save_dir: str = "cp/transfer", name: str = "cUNet",
+                 log_dir: str = "runs", augment: bool = False,
+                 plan: Optional[MeshPlan] = None, seed: int = 0,
+                 export_torch: bool = False):
+        self.cfg = cfg
+        self.name = name
+        self.save_dir = save_dir
+        self.export_torch = export_torch
+        self.plan = plan or make_mesh()
+        self.writer = SummaryWriter(
+            log_dir, comment=run_comment(cfg.lr, cfg.batch_size, cfg.num_epoch, name))
+
+        self.gen, self.disc, self.state = build_gan_state(cfg, jax.random.key(seed))
+        self._resume()
+
+        step = make_gan_step(self.gen, self.disc, est_apply, cfg)
+        bsh, rsh = self.plan.batch(), self.plan.replicated()
+        shardings = dict(
+            in_shardings=(rsh, bsh, bsh, bsh, bsh, rsh), out_shardings=(rsh, rsh))
+        self._step_dg = jax.jit(functools.partial(step, do_g=True), **shardings)
+        self._step_d = jax.jit(functools.partial(step, do_g=False), **shardings)
+        self._eval = jax.jit(make_eval_step(self.gen, self.disc, est_apply, cfg))
+
+        aug_cfg = AugmentConfig(
+            out_size=cfg.input_size, resized_crop=augment,
+            brightness=0.5 if augment else 0.0,
+            contrast=0.3 if augment else 0.0,
+            saturation=0.3 if augment else 0.0)
+        self._augment = jax.jit(lambda k, u8: augment_batch(k, u8, aug_cfg))
+        self._normalize = jax.jit(
+            lambda u8: normalize_batch(u8, out_size=cfg.input_size))
+
+        self.state = jax.device_put(self.state, rsh)
+        self._rng = jax.random.key(seed + 1)
+        self.scalar_dict = {}
+        self.image_dict = {}
+
+    # ------------------------------------------------------------- state io
+    def _resume(self):
+        path = ckpt.latest_checkpoint(self.save_dir, self.name)
+        if path:
+            self.state = ckpt.restore_checkpoint(path, self.state)
+            print(f"resumed from {path} at step {int(self.state.global_step)}")
+
+    def _save(self):
+        step = int(self.state.global_step)
+        ckpt.save_checkpoint(self.save_dir, self.name, step, self.state)
+        if self.export_torch:
+            out = os.path.join(
+                self.save_dir, self.name,
+                f"{self.name}_e{int(self.state.epoch):04d}_s{step}.pt")
+            ckpt.export_torch_gan(
+                out, {"params": self.state.gen.params},
+                {"params": self.state.disc.params, "spectral": self.state.spectral},
+                int(self.state.epoch), step)
+
+    # ------------------------------------------------------------- training
+    def _next_rng(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def train_epoch(self, train_loader: Iterable, random_loader: Iterable,
+                    test_batches=None, labeled: bool = False):
+        """One epoch over zipped content/condition streams
+        (``t_est_train.py:362``).  Batches are ``(uint8 images, cond...,)``
+        tuples from :class:`BatchLoader`; ``labeled`` selects the cls-mode
+        tuple layout ``(image, class_id)``."""
+        bsh = self.plan.batch()
+        zipped = zip(
+            device_prefetch(train_loader, sharding=bsh, device_fields=[0, 1]),
+            device_prefetch(random_loader, sharding=bsh, device_fields=[0, 1]))
+        for data, rand_data in zipped:
+            if data[0].shape[0] != self.cfg.batch_size:
+                continue
+            images = self._augment(self._next_rng(), data[0])
+            rand_images = self._augment(self._next_rng(), rand_data[0])
+            if labeled:
+                c_d = data[1].astype(jnp.int32)
+                c_r = rand_data[1].astype(jnp.int32)
+            else:
+                zeros = jnp.zeros(self.cfg.batch_size, jnp.int32)
+                c_d = c_r = zeros
+
+            gstep = int(self.state.global_step) + 1
+            do_g = gstep % self.cfg.gd_train_ratio == 0
+            fn = self._step_dg if do_g else self._step_d
+            self.state, metrics = fn(
+                self.state, images, c_d, rand_images, c_r, self._next_rng())
+
+            self.scalar_dict.update(
+                {f"losses/{k}/train": float(v) for k, v in metrics.items()})
+
+            if gstep % self.EVAL_PER_STEP == 0:
+                self._save()
+                if test_batches is not None:
+                    self.evaluate(test_batches)
+            if gstep % self.DISPLAY_PER_STEP == 0:
+                self.update_summary()
+        self.state = self.state.replace(epoch=self.state.epoch + 1)
+
+    def evaluate(self, test_batches):
+        """Reference ``evaluation()`` (``t_est_train.py:285-334``) on two
+        cached test batches: translate batch 0 to each of batch 1's
+        conditions."""
+        (images, labels), (ref_images, ref_labels) = test_batches
+        metrics, fakes = self._eval(
+            self.state, images, labels, ref_labels, self._next_rng())
+        self.scalar_dict.update(
+            {f"losses/{k}/test": float(v) for k, v in metrics.items()})
+        strip = np.concatenate(
+            [np.asarray(images)] + list(np.asarray(fakes)), axis=2)
+        self.image_dict["images/test"] = strip
+
+    def update_summary(self):
+        step = int(self.state.global_step)
+        if self.scalar_dict:
+            self.writer.add_scalars(self.scalar_dict, step)
+        for tag, imgs in self.image_dict.items():
+            self.writer.add_image_grid(tag, imgs, step)
+        self.image_dict = {}
+
+    def fit(self, train_loader_fn: Callable[[], Iterable],
+            random_loader_fn: Callable[[], Iterable], test_batches=None,
+            labeled: bool = False):
+        for _ in range(self.cfg.num_epoch):
+            self.train_epoch(train_loader_fn(), random_loader_fn(),
+                             test_batches=test_batches, labeled=labeled)
+        print("Done: training")
+
+
+def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
+                     *, state: TrainState, plan: Optional[MeshPlan] = None,
+                     num_epoch: int, writer: Optional[SummaryWriter] = None,
+                     augment_cfg: Optional[AugmentConfig] = None,
+                     save_dir: str = "cp", name: str = "model",
+                     eval_per_iter: int = 100, save_per_epoch: int = 5,
+                     target_dtype=jnp.float32, seed: int = 0):
+    """Shared classifier/estimator loop (reference ``classifier.py:132-182``,
+    ``estimator.py:170-227``): eval sweep every ``eval_per_iter`` iterations,
+    checkpoint every ``save_per_epoch`` epochs."""
+    plan = plan or make_mesh()
+    bsh, rsh = plan.batch(), plan.replicated()
+    jstep = jax.jit(step_fn, in_shardings=(rsh, bsh, bsh), out_shardings=(rsh, rsh))
+    jeval = jax.jit(eval_fn, in_shardings=(rsh, rsh, bsh, bsh), out_shardings=rsh)
+    aug_cfg = augment_cfg or AugmentConfig()
+    aug = jax.jit(lambda k, u8: augment_batch(k, u8, aug_cfg))
+    norm = jax.jit(lambda u8: normalize_batch(u8, out_size=aug_cfg.out_size))
+    rng = jax.random.key(seed)
+    state = jax.device_put(state, rsh)
+
+    global_step = 0
+    train_metrics = []
+    for epoch in range(num_epoch):
+        for batch in device_prefetch(train_loader_fn(), sharding=bsh,
+                                     device_fields=[0, 1]):
+            rng, k = jax.random.split(rng)
+            images = aug(k, batch[0])
+            targets = batch[1].astype(target_dtype)
+            state, metrics = jstep(state, images, targets)
+            train_metrics.append({k2: float(v) for k2, v in metrics.items()})
+
+            if global_step % eval_per_iter == 0:
+                test_accum = []
+                for tb in device_prefetch(test_loader_fn(), sharding=bsh,
+                                          device_fields=[0, 1]):
+                    m = jeval(state.params, state.extra, norm(tb[0]),
+                              tb[1].astype(target_dtype))
+                    test_accum.append({k2: float(v) for k2, v in m.items()})
+                if writer is not None and test_accum:
+                    mean = lambda ms, k2: float(np.mean([m[k2] for m in ms]))
+                    scalars = {}
+                    for k2 in train_metrics[0]:
+                        scalars[f"{k2}/train"] = mean(train_metrics, k2)
+                    for k2 in test_accum[0]:
+                        scalars[f"{k2}/test"] = mean(test_accum, k2)
+                    writer.add_scalars(scalars, global_step)
+                train_metrics = []
+            global_step += 1
+
+        if epoch % save_per_epoch == 0:
+            ckpt.save_checkpoint(save_dir, name, global_step,
+                                 {"params": state.params, "batch_stats": state.extra,
+                                  "epoch": epoch, "global_step": global_step})
+    return state
