@@ -48,7 +48,24 @@ def zscore_columns(df, columns, stats_df=None):
 
 
 def _decode(path: str, out_size: Optional[int]) -> np.ndarray:
-    """JPEG decode + optional square resize -> uint8 HWC."""
+    """JPEG decode + optional square resize -> uint8 HWC.
+
+    Set ``WUT_NATIVE_DECODE=1`` (with the C++ runtime built,
+    ``make -C weather_unet_tpu/runtime``) to decode via the native
+    libjpeg loader — GIL-free, thread-scalable on multi-core hosts.  The
+    native resize is plain bilinear (no PIL antialiasing), fine for training;
+    parity-sensitive eval paths keep PIL by default.
+    """
+    if (out_size is not None and os.environ.get("WUT_NATIVE_DECODE") == "1"
+            and path.lower().endswith((".jpg", ".jpeg"))):
+        from weather_unet_tpu import runtime
+
+        if runtime.native_available():
+            img = runtime.decode_file(path, out_size)
+            if img is not None:
+                return img
+            raise IOError(f"native decode failed for {path}")
+
     from PIL import Image
 
     with Image.open(path) as im:

@@ -1,0 +1,91 @@
+"""Offline dataset preparation — rebuilds of ``preprocesses/spliter.py``,
+``preprocesses/spliter_flicker.py`` and ``preprocesses/remove_gray.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import random
+from glob import glob
+from typing import Dict, List, Optional, Sequence
+
+
+def split_i2w(root: str, test_per_class: int = 500, small_rate: float = 1.0,
+              seed: int = 0) -> Dict[str, List[str]]:
+    """i2w directory tree -> {'train','val','test'} path lists
+    (``preprocesses/spliter.py:16-39``): ``test_per_class`` images per class
+    go to test, the remainder is halved into train/val; ``small_rate``
+    subsamples every split."""
+    rng = random.Random(seed)
+    out: Dict[str, List[str]] = {"train": [], "val": [], "test": []}
+    classes = sorted(d for d in os.listdir(root)
+                     if os.path.isdir(os.path.join(root, d)) and "z-other" not in d)
+    for cls in classes:
+        paths = sorted(glob(os.path.join(root, cls, "*")))
+        rng.shuffle(paths)
+        test = paths[:test_per_class]
+        rest = paths[test_per_class:]
+        half = len(rest) // 2
+        splits = {"test": test, "train": rest[:half], "val": rest[half:]}
+        for k, v in splits.items():
+            if small_rate < 1.0:
+                v = v[: int(len(v) * small_rate)]
+            out[k].extend(v)
+    return out
+
+
+def split_flickr(df, per_class: Sequence[int] = (40, 40, 20),
+                 ent_th: Optional[float] = None, class_col: str = "condition2",
+                 seed: int = 0):
+    """Assign a ``mode`` column train/val/test per class in the given
+    percentage ratios, optionally dropping high-entropy rows first
+    (``preprocesses/spliter_flicker.py:10-41``)."""
+    import numpy as np
+
+    df = df.copy()
+    if ent_th is not None and "ent_label" in df:
+        df = df[df["ent_label"] < ent_th]
+    rng = np.random.default_rng(seed)
+    modes = np.empty(len(df), dtype=object)
+    pos = {c: i for i, c in enumerate(df.columns)}
+    labels = df[class_col].to_numpy()
+    for cls in np.unique(labels):
+        idx = np.flatnonzero(labels == cls)
+        rng.shuffle(idx)
+        n = len(idx)
+        n_train = n * per_class[0] // 100
+        n_val = n * per_class[1] // 100
+        modes[idx[:n_train]] = "train"
+        modes[idx[n_train:n_train + n_val]] = "val"
+        modes[idx[n_train + n_val:]] = "test"
+    df["mode"] = modes
+    return df
+
+
+def remove_gray(df, image_root: str, photo_col: str = "photo",
+                sample_px: int = 64):
+    """Drop grayscale photos (R==G==B) from the frame
+    (``preprocesses/remove_gray.py:9-29``); decodes with PIL at reduced size
+    for speed."""
+    import numpy as np
+    from PIL import Image
+
+    keep = []
+    for pid in df[photo_col]:
+        path = os.path.join(image_root, str(pid) + ".jpg")
+        try:
+            with Image.open(path) as im:
+                im = im.convert("RGB").resize((sample_px, sample_px))
+                arr = np.asarray(im, dtype=np.int16)
+            gray = bool(np.all(arr[..., 0] == arr[..., 1])
+                        and np.all(arr[..., 1] == arr[..., 2]))
+        except Exception:
+            gray = True  # unreadable counts as dropped
+        keep.append(not gray)
+    return df[keep]
+
+
+def save_split_pickle(split: Dict[str, List[str]], path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(split, f)

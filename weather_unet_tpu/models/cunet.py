@@ -56,10 +56,15 @@ class AdaINBlock(nn.Module):
     channels: int
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, c):
         y = TorchDense(self.channels * 4, dtype=self.dtype, name="proj")(c)
+        if self.use_pallas:
+            from weather_unet_tpu.kernels.adain_pallas import adain_fused
+
+            return adain_fused(x, y, self.eps)
         return adain(x, y, eps=self.eps)
 
 
@@ -69,6 +74,7 @@ class ConditionalUNet(nn.Module):
     num_classes: int = 5
     dropout_rate: float = 0.3
     dtype: Any = jnp.float32
+    use_pallas: bool = False   # fused AdaIN kernel (TPU serving fast path)
 
     @nn.compact
     def __call__(self, x, c, *, train: bool = False):
@@ -91,19 +97,19 @@ class ConditionalUNet(nn.Module):
         h = max_pool_2x2(conv3)
         h = RDoubleConv(512, dtype=dt, name="down4")(h)
 
-        h = AdaINBlock(512, dtype=dt, name="adain3")(h, c)
+        h = AdaINBlock(512, dtype=dt, use_pallas=self.use_pallas, name="adain3")(h, c)
         h = upsample_bilinear_align_corners(h)
         h = drop(h)
         h = jnp.concatenate([h, conv3], axis=-1)
         h = RDoubleConv(256, dtype=dt, name="up3")(h)
 
-        h = AdaINBlock(256, dtype=dt, name="adain2")(h, c)
+        h = AdaINBlock(256, dtype=dt, use_pallas=self.use_pallas, name="adain2")(h, c)
         h = upsample_bilinear_align_corners(h)
         h = drop(h)
         h = jnp.concatenate([h, conv2], axis=-1)
         h = RDoubleConv(128, dtype=dt, name="up2")(h)
 
-        h = AdaINBlock(128, dtype=dt, name="adain1")(h, c)
+        h = AdaINBlock(128, dtype=dt, use_pallas=self.use_pallas, name="adain1")(h, c)
         h = upsample_bilinear_align_corners(h)
         h = drop(h)
         h = jnp.concatenate([h, conv1], axis=-1)
