@@ -1,0 +1,196 @@
+"""End-to-end CLI integration tests on synthetic data (CPU).
+
+Exercises the user-facing entry points the way the reference's users run them
+(SURVEY.md §2.5-2.6): real argv, real files on disk, real outputs.
+Small ResNet stands in for ResNet-101 via monkeypatching the builder — the
+architectures share every code path except depth.
+"""
+
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+pd = pytest.importorskip("pandas")
+
+from weather_unet_tpu.data.datasets import SIGNAL_COLUMNS
+from weather_unet_tpu.models import ConditionalUNet, ResNet
+from weather_unet_tpu.train import checkpoint as ckpt
+
+
+@pytest.fixture(scope="module")
+def small_resnet_everywhere():
+    """Patch ResNet101 to a depth-(1,1,1,1) ResNet for CLI tests."""
+    import weather_unet_tpu.cli.common as common
+
+    orig = common.ResNet101
+    common.ResNet101 = lambda num_classes=5, dtype=jnp.float32: ResNet(
+        block_counts=(1, 1, 1, 1), num_classes=num_classes, dtype=dtype)
+    yield
+    common.ResNet101 = orig
+
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory, small_resnet_everywhere):
+    """Synthetic world: images, dataframe pickle, i2w split, checkpoints."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("world")
+    img_dir = root / "photos"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    rows = []
+    classes = ["Clear", "Clouds", "Rain", "Mist", "Snow"]
+    for i in range(16):
+        pid = f"p{i:03d}"
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(
+            img_dir / f"{pid}.jpg")
+        rows.append({
+            "photo": pid, "mode": "train" if i < 10 else "test",
+            "condition2": classes[i % 5], "w_condition": classes[i % 5],
+            "name": "st", "s_unixtime": 1_600_000_000 + 3600 * i,
+            **{c: float(rng.standard_normal()) for c in SIGNAL_COLUMNS}})
+    df = pd.DataFrame(rows)
+    pkl = root / "data.pkl"
+    df.to_pickle(pkl)
+
+    # i2w tree + split pkl
+    i2w = root / "i2w"
+    paths = {"train": [], "test": []}
+    for cls in ["sunny", "cloudy", "rain", "snow", "foggy"]:
+        d = i2w / cls
+        d.mkdir(parents=True)
+        for j in range(3):
+            p = d / f"{j}.jpg"
+            Image.fromarray(rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(p)
+            paths["train" if j < 2 else "test"].append(str(p))
+    split_pkl = root / "split.pkl"
+    with open(split_pkl, "wb") as f:
+        pickle.dump(paths, f)
+
+    # transfer checkpoint (torch format, random init)
+    gen = ConditionalUNet(num_classes=5)
+    gv = gen.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 5)))
+    cp_path = root / "gan.pt"
+    from weather_unet_tpu.train.gan import GanConfig, build_gan_state
+
+    _, _, gstate = build_gan_state(GanConfig(input_size=32), jax.random.key(0))
+    ckpt.export_torch_gan(str(cp_path), gv,
+                          {"params": gstate.disc.params, "spectral": gstate.spectral},
+                          0, 0)
+
+    # estimator checkpoint (small resnet msgpack)
+    est = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
+    ev = est.init(jax.random.key(1), jnp.zeros((1, 32, 32, 3)))
+    est_path = ckpt.save_checkpoint(
+        str(root), "est", 0,
+        {"params": ev["params"], "batch_stats": ev["batch_stats"]})
+
+    return {"root": root, "img_dir": str(img_dir), "pkl": str(pkl),
+            "split_pkl": str(split_pkl), "cp": str(cp_path), "est": est_path}
+
+
+def test_inf_transfer_c_image_only(world, tmp_path):
+    from weather_unet_tpu.cli import inf_transfer_c
+
+    out = tmp_path / "out_c"
+    inf_transfer_c.main([
+        "--image_root", world["img_dir"], "--cp_path", world["cp"],
+        "--output_dir", str(out), "--input_size", "32", "--batch_size", "4",
+        "--image_only"])
+    files = os.listdir(out)
+    assert len(files) == 16 * 5
+    assert any(f.endswith("_sunny.jpg") for f in files)
+
+
+def test_demo_gif(world, tmp_path):
+    from weather_unet_tpu.cli import demo
+
+    out = tmp_path / "gifs"
+    demo.main([
+        "--input_dir", world["img_dir"], "--cp_path", world["cp"],
+        "--estimator_path", world["est"], "--output_dir", str(out),
+        "--input_size", "32", "--batch_size", "4", "--num_classes", "5",
+        "--num_frames", "3"])
+    gifs = [f for f in os.listdir(out) if f.endswith(".gif")]
+    assert len(gifs) == 4  # 16 imgs / bs 4
+
+
+def test_inf_transfer_e(world, tmp_path):
+    from weather_unet_tpu.cli import inf_transfer_e
+
+    out = tmp_path / "out_e"
+    inf_transfer_e.main([
+        "--image_root", world["img_dir"], "--pkl_path", world["pkl"],
+        "--cp_path", world["cp"], "--output_dir", str(out),
+        "--input_size", "32", "--batch_size", "4", "--mode", "test"])
+    files = os.listdir(out)
+    assert len(files) == 4 * 4  # one full batch, bs x bs cross product
+
+
+def test_inf_1year_signals(world, tmp_path):
+    from weather_unet_tpu.cli import inf_1year_signals
+
+    out = tmp_path / "year"
+    inf_1year_signals.main([
+        "--image_root", world["img_dir"], "--pkl_path", world["pkl"],
+        "--photo_id", "p003", "--cp_path", world["cp"],
+        "--output_dir", str(out), "--input_size", "32", "--batch_size", "8"])
+    assert len(os.listdir(out)) == 16  # every hourly record becomes a frame
+
+
+def test_inf_classifier_pseudolabel(world, tmp_path):
+    from weather_unet_tpu.cli import inf_classifier_i2w
+
+    out_pkl = tmp_path / "labeled.pkl"
+    inf_classifier_i2w.main([
+        "--image_root", world["img_dir"], "--pkl_path", world["pkl"],
+        "--classifier_path", world["est"], "--output_pkl", str(out_pkl),
+        "--input_size", "32", "--batch_size", "4"])
+    df = pd.read_pickle(out_pkl)
+    assert "w_condition" in df
+    assert set(df["w_condition"]) <= {"Clear", "Clouds", "Rain", "Mist", "Snow"}
+
+
+def test_eval_class_transfer(world, tmp_path):
+    from weather_unet_tpu.cli import eval_class_transfer
+
+    out = eval_class_transfer.main([
+        "--pkl_path", world["split_pkl"], "--cp_path", world["cp"],
+        "--classifier_path", world["est"], "--output_dir", str(tmp_path / "ev"),
+        "--input_size", "32", "--batch_size", "4"])
+    assert out["confusion_matrix"].sum() == 20  # 4 imgs x 5 classes
+    assert os.path.exists(tmp_path / "ev" / "cm.pkl")
+
+
+def test_eval_estimator_transfer(world, tmp_path):
+    from weather_unet_tpu.cli import eval_estimator_transfer
+
+    out = eval_estimator_transfer.main([
+        "--image_root", world["img_dir"], "--pkl_path", world["pkl"],
+        "--cp_path", world["cp"], "--estimator_path", world["est"],
+        "--input_size", "32", "--batch_size", "4", "--mode", "test"])
+    assert out["l1_mean"].shape == (5,)
+    assert np.all(np.isfinite(out["l1_mean"]))
+
+
+def test_fid_score_cli(world, tmp_path):
+    from weather_unet_tpu.cli import fid_score
+
+    fid = fid_score.main([world["img_dir"], world["img_dir"],
+                          "--batch-size", "8"])
+    assert fid < 1e-3  # same directory -> zero distance
+
+
+def test_preprocess_roundtrip(world, tmp_path):
+    from weather_unet_tpu.cli import preprocess
+
+    out = tmp_path / "sp.pkl"
+    preprocess.main(["split-i2w", "--root", str(world["root"] / "i2w"),
+                     "--output", str(out), "--test_per_class", "1"])
+    with open(out, "rb") as f:
+        split = pickle.load(f)
+    assert set(split) == {"train", "val", "test"}

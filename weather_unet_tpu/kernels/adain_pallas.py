@@ -13,8 +13,12 @@ The tiny style statistics (4 projected values per channel, unbiased variance
 scale/shift, avoiding sub-lane reshapes in the kernel.
 
 Training uses a custom VJP that recomputes the backward through the XLA
-reference implementation (numerically identical; the kernel is the serving
-fast path).
+reference implementation (numerically identical).
+
+Measured on v5e (full 256^2 U-Net, batch 32, bf16): 746 img/s with this
+kernel vs 795 img/s with the plain XLA AdaIN — XLA already fuses the
+modulate into the neighbouring upsample matmul, so the kernel is kept as
+opt-in (``ConditionalUNet(use_pallas=True)``) rather than default.
 """
 
 from __future__ import annotations
@@ -30,38 +34,53 @@ from weather_unet_tpu.ops.norm import _mean_var_unbiased, adain as adain_xla
 
 
 def _adain_kernel(x_ref, ys_ref, ym_ref, o_ref, *, eps: float):
-    x = x_ref[...].astype(jnp.float32)              # (1, H, W, C)
-    hw = x.shape[1] * x.shape[2]
-    mean = jnp.mean(x, axis=(0, 1, 2))              # (C,)
-    sq = jnp.mean(x * x, axis=(0, 1, 2))
-    var = (sq - mean * mean) * (hw / max(hw - 1, 1))   # unbiased (torch .var())
+    # Row-chunked f32 accumulation: never materializes an f32 copy of the
+    # whole block (which blows the ~16 MB VMEM budget at 128x128x128).
+    h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    hw = h * w
+
+    def stat_row(i, acc):
+        s, ss = acc
+        row = x_ref[0, i].astype(jnp.float32)        # (W, C)
+        return s + jnp.sum(row, axis=0), ss + jnp.sum(row * row, axis=0)
+
+    zero = jnp.zeros((c,), jnp.float32)
+    s, ss = jax.lax.fori_loop(0, h, stat_row, (zero, zero))
+    mean = s / hw
+    var = (ss / hw - mean * mean) * (hw / max(hw - 1, 1))   # unbiased (torch .var())
     inv = jax.lax.rsqrt(var + eps)
-    ys = ys_ref[...].astype(jnp.float32)            # (1, C)
+    ys = ys_ref[...].astype(jnp.float32)            # (1, 1, C)
     ym = ym_ref[...].astype(jnp.float32)
-    scale = inv * ys[0]
-    shift = ym[0] - mean * scale
-    o_ref[...] = (x * scale + shift).astype(o_ref.dtype)
+    scale = inv * ys[0, 0]
+    shift = ym[0, 0] - mean * scale
+
+    def mod_row(i, _):
+        row = x_ref[0, i].astype(jnp.float32)
+        o_ref[0, i] = (row * scale + shift).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h, mod_row, 0)
 
 
 def _adain_pallas_impl(x, y_scale, y_mean, eps: float, interpret: bool):
     b, h, w, c = x.shape
     kernel = functools.partial(_adain_kernel, eps=eps)
+    ms = pltpu.ANY if interpret else pltpu.VMEM
+    # style tensors carried as (B, 1, C) so the (1, 1, C) block satisfies the
+    # Mosaic last-two-dims tiling rule (C % 128 == 0 at every AdaIN site)
     return pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0),
-                         memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=ms),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=ms),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=ms),
         ],
         out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=ms),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=interpret,
-    )(x, y_scale, y_mean)
+    )(x, y_scale[:, None, :], y_mean[:, None, :])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))

@@ -56,9 +56,12 @@ def latest_checkpoint(directory: str, name: str) -> Optional[str]:
 
 def restore_checkpoint(path: str, target: Any) -> Any:
     """Restore a tree saved by :func:`save_checkpoint` into ``target``'s
-    structure."""
+    structure; ``target=None`` returns the raw nested dict."""
     with open(path, "rb") as f:
-        return serialization.from_bytes(target, f.read())
+        data = f.read()
+    if target is None:
+        return serialization.msgpack_restore(data)
+    return serialization.from_bytes(target, data)
 
 
 def export_torch_gan(path: str, gen_variables, disc_variables,

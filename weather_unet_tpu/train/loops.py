@@ -108,6 +108,10 @@ class WeatherTransferTrainer:
         tuples from :class:`BatchLoader`; ``labeled`` selects the cls-mode
         tuple layout ``(image, class_id)``."""
         bsh = self.plan.batch()
+        try:  # lambda ramp denominator (t_est_train.py:355)
+            all_step = self.cfg.num_epoch * len(train_loader)
+        except TypeError:
+            all_step = 0
         zipped = zip(
             device_prefetch(train_loader, sharding=bsh, device_fields=[0, 1]),
             device_prefetch(random_loader, sharding=bsh, device_fields=[0, 1]))
@@ -131,6 +135,9 @@ class WeatherTransferTrainer:
 
             self.scalar_dict.update(
                 {f"losses/{k}/train": float(v) for k, v in metrics.items()})
+            if all_step:  # reference logs the lmda ramp (t_est_train.py:254,376-379)
+                self.scalar_dict["variables/lmda"] = (
+                    self.cfg.lmda if self.cfg.lmda else gstep / all_step)
 
             if gstep % self.EVAL_PER_STEP == 0:
                 self._save()
