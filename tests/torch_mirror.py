@@ -167,3 +167,160 @@ def resnet_forward(x_nhwc, sd, block_counts=(3, 4, 23, 3), train=False):
         x = x.mean(dim=[2, 3])
         x = F.linear(x, t(sd["fc.weight"]), t(sd["fc.bias"]))
     return x.numpy()
+
+
+# ------------------------------------------------------- differentiable GAN
+
+def t_params(sd, requires_grad=True):
+    """state-dict numpy -> torch tensors (leaves with grad)."""
+    out = {}
+    for k, v in sd.items():
+        tt = torch.from_numpy(np.array(v, copy=True)).float()
+        if requires_grad and not k.endswith(("_u", "_v")):
+            tt.requires_grad_(True)
+        out[k] = tt
+    return out
+
+
+def cunet_forward_diff(p, x, c):
+    """Differentiable Conditional_UNet forward, dropout disabled (NCHW)."""
+
+    def rdc(h, prefix):
+        h = F.conv2d(h, p[f"{prefix}.0.weight"], p[f"{prefix}.0.bias"], padding=1)
+        h = F.relu(h)
+        h = F.conv2d(h, p[f"{prefix}.2.weight"], p[f"{prefix}.2.bias"], padding=1)
+        return F.relu(h)
+
+    def ada(h, prefix, eps=1e-5):
+        bs, ch = h.shape[:2]
+        y = F.linear(c, p[f"{prefix}.l1.weight"], p[f"{prefix}.l1.bias"])
+        h_ = h.reshape(bs, ch, -1)
+        y_ = y.reshape(bs, ch, -1)
+        h_std = (h_.var(dim=-1) + eps).sqrt().view(bs, ch, 1, 1)
+        h_mean = h_.mean(dim=-1).view(bs, ch, 1, 1)
+        y_std = (y_.var(dim=-1) + eps).sqrt().view(bs, ch, 1, 1)
+        y_mean = y_.mean(dim=-1).view(bs, ch, 1, 1)
+        return (h - h_mean) / h_std * y_std + y_mean
+
+    conv1 = rdc(x, "dconv_down1")
+    h = F.max_pool2d(conv1, 2)
+    conv2 = rdc(h, "dconv_down2")
+    h = F.max_pool2d(conv2, 2)
+    conv3 = rdc(h, "dconv_down3")
+    h = F.max_pool2d(conv3, 2)
+    h = rdc(h, "dconv_down4")
+    for ada_name, up_name, skip in (("adain3", "dconv_up3", conv3),
+                                    ("adain2", "dconv_up2", conv2),
+                                    ("adain1", "dconv_up1", conv1)):
+        h = ada(h, ada_name)
+        h = upsample2(h)
+        h = torch.cat([h, skip], dim=1)
+        h = rdc(h, up_name)
+    out = F.conv2d(h, p["conv_last.weight"], p["conv_last.bias"])
+    return torch.tanh(out)
+
+
+def sn_weight_diff(p, u_store, prefix, update=True):
+    """Spectral norm with torch semantics: power iteration under no_grad on
+    buffers, sigma differentiable w.r.t. weight_orig."""
+    w = p[f"{prefix}.weight_orig"]
+    u = u_store[prefix]
+    w_mat = w.reshape(w.shape[0], -1)
+    with torch.no_grad():
+        if update:
+            v = F.normalize(w_mat.t() @ u, dim=0, eps=1e-12)
+            u = F.normalize(w_mat @ v, dim=0, eps=1e-12)
+            u_store[prefix] = u
+        else:
+            v = F.normalize(w_mat.t() @ u, dim=0, eps=1e-12)
+    sigma = torch.dot(u, w_mat @ v)
+    return w / sigma
+
+
+def sndisc_forward_diff(p, u_store, x, c, update=True):
+    h = x
+    for i in range(1, 5):
+        for j, stride in ((0, 1), (1, 2)):
+            w = sn_weight_diff(p, u_store, f"conv{i}.{j}", update)
+            h = F.conv2d(h, w, p[f"conv{i}.{j}.bias"], stride=stride, padding=1)
+        h = F.leaky_relu(h, 0.2)
+    feat = h.sum(dim=[2, 3])
+    wl = sn_weight_diff(p, u_store, "l", update)
+    out = F.linear(feat, wl, p["l.bias"])
+    we = sn_weight_diff(p, u_store, "embed", update)
+    e_c = F.linear(c, we, p["embed.bias"])
+    return out + (e_c * feat).sum(dim=1, keepdim=True)
+
+
+class TorchGanSim:
+    """Persistent differentiable GAN mirror: params + Adam state + u buffers
+    survive across steps (matches the jax trainer's persistent TrainState)."""
+
+    def __init__(self, gen_sd, disc_sd, est_w, lr=1e-4):
+        self.gp = t_params(gen_sd)
+        self.dp = t_params({k: v for k, v in disc_sd.items()
+                            if not k.endswith(("_u", "_v"))
+                            and not k.endswith(".weight")})
+        self.us = {k[: -len(".weight_u")]:
+                   torch.from_numpy(np.array(v, copy=True)).float()
+                   for k, v in disc_sd.items() if k.endswith("weight_u")}
+        self.est_w = torch.from_numpy(np.array(est_w, copy=True)).float()
+        g_leaves = [v for v in self.gp.values() if v.requires_grad]
+        d_leaves = [v for v in self.dp.values() if v.requires_grad]
+        self.g_opt = torch.optim.Adam(g_leaves, lr=lr, betas=(0.0, 0.999),
+                                      weight_decay=lr / 20)
+        self.d_opt = torch.optim.Adam(d_leaves, lr=lr, betas=(0.0, 0.999),
+                                      weight_decay=lr / 20)
+
+    def est(self, imgs):
+        return imgs.mean(dim=[2, 3]) @ self.est_w
+
+    def step(self, images_nhwc, rand_images_nhwc):
+        """One combined D+G update as the reference runs it
+        (t_est_train.py:214-283,384-391)."""
+        x = nhwc_to_nchw(images_nhwc)
+        rx = nhwc_to_nchw(rand_images_nhwc)
+        rand_labels = self.est(rx).detach()
+        pred_labels = self.est(x).detach()
+
+        self.d_opt.zero_grad()
+        real_out = sndisc_forward_diff(self.dp, self.us, x, pred_labels)
+        with torch.no_grad():
+            fake_d = cunet_forward_diff(self.gp, x, rand_labels)
+        fake_out = sndisc_forward_diff(self.dp, self.us, fake_d, rand_labels)
+        d_loss = (torch.relu(1.0 - real_out).mean()
+                  + torch.relu(1.0 + fake_out).mean())
+        d_loss.backward()
+        self.d_opt.step()
+
+        self.g_opt.zero_grad()
+        fake = cunet_forward_diff(self.gp, x, rand_labels)
+        fake_c = self.est(fake)
+        fake_out2 = sndisc_forward_diff(self.dp, self.us, fake, rand_labels)
+        g_adv = (-fake_out2).mean()
+        g_w = F.mse_loss(fake_c, rand_labels)
+        diff = torch.mean(torch.abs(fake - x), [1, 2, 3])
+        lmda = torch.mean(torch.abs(pred_labels - rand_labels), 1)
+        loss_con = torch.mean(diff / (lmda + 1e-7))
+        g_loss = g_adv + loss_con + g_w
+        g_loss.backward()
+        self.g_opt.step()
+
+        return {"d_loss": d_loss.item(), "g_loss": g_loss.item(),
+                "g_loss_adv": g_adv.item(), "g_loss_w": g_w.item(),
+                "loss_con": loss_con.item()}
+
+    def export(self):
+        gen = {k: v.detach().numpy() for k, v in self.gp.items()}
+        disc = {k: v.detach().numpy() for k, v in self.dp.items()}
+        us = {k: v.numpy() for k, v in self.us.items()}
+        return gen, disc, us
+
+
+def torch_gan_step(gen_sd, disc_sd, images_nhwc, rand_images_nhwc, est_w,
+                   lr=1e-4):
+    """Single combined step convenience wrapper around TorchGanSim."""
+    sim = TorchGanSim(gen_sd, disc_sd, est_w, lr=lr)
+    metrics = sim.step(images_nhwc, rand_images_nhwc)
+    gen, disc, us = sim.export()
+    return gen, disc, us, metrics

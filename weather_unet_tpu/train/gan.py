@@ -58,6 +58,7 @@ class GanConfig:
     lmda: Optional[float] = None
     num_epoch: int = 50
     dtype: Any = jnp.float32
+    dropout_rate: float = 0.3   # reference cunet.py:28; 0.0 for parity tests
 
     @property
     def con_eps(self) -> float:
@@ -66,7 +67,8 @@ class GanConfig:
 
 def build_gan_state(cfg: GanConfig, rng) -> tuple[ConditionalUNet, SNDisc, GanTrainState]:
     """Initialize generator/discriminator models and the paired train state."""
-    gen = ConditionalUNet(num_classes=cfg.num_classes, dtype=cfg.dtype)
+    gen = ConditionalUNet(num_classes=cfg.num_classes, dtype=cfg.dtype,
+                          dropout_rate=cfg.dropout_rate)
     disc = SNDisc(num_classes=cfg.num_classes, dtype=cfg.dtype)
     kg, kd = jax.random.split(rng)
     x = jnp.zeros((1, cfg.input_size, cfg.input_size, 3), cfg.dtype)
