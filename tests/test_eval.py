@@ -134,3 +134,18 @@ def test_estimator_transfer_consistency_pipeline(rng):
         model, variables, estimate, [(x, conds)], sigma=np.ones(5) * 2.0)
     assert out["l1_mean"].shape == (5,)
     np.testing.assert_allclose(out["l1_mean_denorm"], out["l1_mean"] * 2.0)
+
+
+def test_inception_forward_matches_torch_mirror(inception, rng):
+    """Full InceptionV3-FID forward vs the torch functional mirror on
+    identical (random-init) weights — validates every block's wiring,
+    the FID pooling quirks, and the half-pixel input resize."""
+    from weather_unet_tpu.compat.torch_io import inception_to_torch
+    from tests import torch_mirror
+
+    model, variables = inception
+    x = rng.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    sd = inception_to_torch(variables)
+    theirs = torch_mirror.inception_fid_forward(x, sd)
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)

@@ -1,0 +1,60 @@
+"""Smoke test of the shared supervised training loop (classifier/estimator
+drivers) with checkpointing and eval sweeps on synthetic batches."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from weather_unet_tpu.core.optim import torch_adam
+from weather_unet_tpu.core.state import TrainState
+from weather_unet_tpu.data.transforms import AugmentConfig
+from weather_unet_tpu.models import ResNet
+from weather_unet_tpu.train import checkpoint as ckpt
+from weather_unet_tpu.train.loops import train_supervised
+from weather_unet_tpu.train.metrics import SummaryWriter
+from weather_unet_tpu.train.supervised import (
+    make_classifier_step, make_eval_metrics, resnet_pretrained_mask)
+
+
+class FakeLoader:
+    def __init__(self, rng, n_batches=2, bs=8, size=32, classes=5):
+        self.rng, self.n, self.bs, self.size, self.classes = rng, n_batches, bs, size, classes
+
+    def __iter__(self):
+        for _ in range(self.n):
+            yield (self.rng.integers(0, 255, (self.bs, self.size, self.size, 3),
+                                     dtype=np.uint8),
+                   self.rng.integers(0, self.classes, self.bs))
+
+
+def test_train_supervised_classifier(tmp_path, rng):
+    model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    state = TrainState.create(
+        variables["params"], torch_adam(1e-4, weight_decay=1e-4),
+        extra=variables["batch_stats"])
+    writer = SummaryWriter(log_dir=str(tmp_path / "runs"), comment="_t")
+
+    out_state = train_supervised(
+        model, make_classifier_step(model), make_eval_metrics(model, "classifier"),
+        lambda: FakeLoader(rng), lambda: FakeLoader(rng, n_batches=1),
+        state=state, num_epoch=2, writer=writer,
+        augment_cfg=AugmentConfig(out_size=32),
+        save_dir=str(tmp_path), name="cls", eval_per_iter=2,
+        save_per_epoch=1, target_dtype=jnp.int32)
+    assert int(out_state.step) == 4
+    assert ckpt.latest_checkpoint(str(tmp_path), "cls") is not None
+    p0 = jax.tree.leaves(state.params)[0]
+    p1 = jax.tree.leaves(out_state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+def test_pretrained_mask_freezes_backbone(rng):
+    model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    mask = resnet_pretrained_mask(variables["params"])
+    # conv1 and layer1 frozen, layer4 + fc trainable
+    assert float(jax.tree.leaves(mask["conv1"])[0].sum()) == 0.0
+    assert float(jax.tree.leaves(mask["layer1_0"])[0].sum()) == 0.0
+    assert float(jax.tree.leaves(mask["fc"])[0].sum()) > 0
+    assert float(jax.tree.leaves(mask["layer4_0"])[0].sum()) > 0

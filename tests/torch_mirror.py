@@ -324,3 +324,107 @@ def torch_gan_step(gen_sd, disc_sd, images_nhwc, rand_images_nhwc, est_w,
     metrics = sim.step(images_nhwc, rand_images_nhwc)
     gen, disc, us = sim.export()
     return gen, disc, us, metrics
+
+
+# ------------------------------------------------- FID InceptionV3 mirror
+
+def _bconv(x, sd, prefix, stride=1, padding=0):
+    """BasicConv2d: bias-free conv + BN(eps=0.001) + relu."""
+    x = F.conv2d(x, t(sd[f"{prefix}.conv.weight"]), stride=stride, padding=padding)
+    x = F.batch_norm(x, t(sd[f"{prefix}.bn.running_mean"]),
+                     t(sd[f"{prefix}.bn.running_var"]),
+                     t(sd[f"{prefix}.bn.weight"]), t(sd[f"{prefix}.bn.bias"]),
+                     training=False, eps=0.001)
+    return F.relu(x)
+
+
+def _avg3(x):
+    # FID patch: count_include_pad=False
+    return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+
+
+def _mix_a(x, sd, p):
+    b1 = _bconv(x, sd, f"{p}.branch1x1")
+    b5 = _bconv(_bconv(x, sd, f"{p}.branch5x5_1"), sd, f"{p}.branch5x5_2", padding=2)
+    bd = _bconv(_bconv(_bconv(x, sd, f"{p}.branch3x3dbl_1"), sd,
+                       f"{p}.branch3x3dbl_2", padding=1), sd,
+                f"{p}.branch3x3dbl_3", padding=1)
+    bp = _bconv(_avg3(x), sd, f"{p}.branch_pool")
+    return torch.cat([b1, b5, bd, bp], 1)
+
+
+def _mix_b(x, sd, p):
+    b3 = _bconv(x, sd, f"{p}.branch3x3", stride=2)
+    bd = _bconv(_bconv(_bconv(x, sd, f"{p}.branch3x3dbl_1"), sd,
+                       f"{p}.branch3x3dbl_2", padding=1), sd,
+                f"{p}.branch3x3dbl_3", stride=2)
+    return torch.cat([b3, bd, F.max_pool2d(x, 3, 2)], 1)
+
+
+def _mix_c(x, sd, p):
+    b1 = _bconv(x, sd, f"{p}.branch1x1")
+    b7 = _bconv(x, sd, f"{p}.branch7x7_1")
+    b7 = _bconv(b7, sd, f"{p}.branch7x7_2", padding=(0, 3))
+    b7 = _bconv(b7, sd, f"{p}.branch7x7_3", padding=(3, 0))
+    bd = _bconv(x, sd, f"{p}.branch7x7dbl_1")
+    bd = _bconv(bd, sd, f"{p}.branch7x7dbl_2", padding=(3, 0))
+    bd = _bconv(bd, sd, f"{p}.branch7x7dbl_3", padding=(0, 3))
+    bd = _bconv(bd, sd, f"{p}.branch7x7dbl_4", padding=(3, 0))
+    bd = _bconv(bd, sd, f"{p}.branch7x7dbl_5", padding=(0, 3))
+    bp = _bconv(_avg3(x), sd, f"{p}.branch_pool")
+    return torch.cat([b1, b7, bd, bp], 1)
+
+
+def _mix_d(x, sd, p):
+    b3 = _bconv(_bconv(x, sd, f"{p}.branch3x3_1"), sd, f"{p}.branch3x3_2", stride=2)
+    b7 = _bconv(x, sd, f"{p}.branch7x7x3_1")
+    b7 = _bconv(b7, sd, f"{p}.branch7x7x3_2", padding=(0, 3))
+    b7 = _bconv(b7, sd, f"{p}.branch7x7x3_3", padding=(3, 0))
+    b7 = _bconv(b7, sd, f"{p}.branch7x7x3_4", stride=2)
+    return torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+
+
+def _mix_e(x, sd, p, pool):
+    b1 = _bconv(x, sd, f"{p}.branch1x1")
+    b3 = _bconv(x, sd, f"{p}.branch3x3_1")
+    b3 = torch.cat([_bconv(b3, sd, f"{p}.branch3x3_2a", padding=(0, 1)),
+                    _bconv(b3, sd, f"{p}.branch3x3_2b", padding=(1, 0))], 1)
+    bd = _bconv(_bconv(x, sd, f"{p}.branch3x3dbl_1"), sd,
+                f"{p}.branch3x3dbl_2", padding=1)
+    bd = torch.cat([_bconv(bd, sd, f"{p}.branch3x3dbl_3a", padding=(0, 1)),
+                    _bconv(bd, sd, f"{p}.branch3x3dbl_3b", padding=(1, 0))], 1)
+    bp = _avg3(x) if pool == "avg" else F.max_pool2d(x, 3, 1, padding=1)
+    bp = _bconv(bp, sd, f"{p}.branch_pool")
+    return torch.cat([b1, b3, bd, bp], 1)
+
+
+def inception_fid_forward(x_nhwc, sd, resize=True, normalize=True):
+    """pytorch-fid InceptionV3 pool3 features (eval/inception.py semantics)."""
+    x = nhwc_to_nchw(x_nhwc)
+    with torch.no_grad():
+        if resize and x.shape[2:] != (299, 299):
+            # reference eval/inception.py:146-150: align_corners=False
+            x = F.interpolate(x, size=(299, 299), mode="bilinear",
+                              align_corners=False)
+        if normalize:
+            x = 2.0 * x - 1.0
+        x = _bconv(x, sd, "Conv2d_1a_3x3", stride=2)
+        x = _bconv(x, sd, "Conv2d_2a_3x3")
+        x = _bconv(x, sd, "Conv2d_2b_3x3", padding=1)
+        x = F.max_pool2d(x, 3, 2)
+        x = _bconv(x, sd, "Conv2d_3b_1x1")
+        x = _bconv(x, sd, "Conv2d_4a_3x3")
+        x = F.max_pool2d(x, 3, 2)
+        x = _mix_a(x, sd, "Mixed_5b")
+        x = _mix_a(x, sd, "Mixed_5c")
+        x = _mix_a(x, sd, "Mixed_5d")
+        x = _mix_b(x, sd, "Mixed_6a")
+        x = _mix_c(x, sd, "Mixed_6b")
+        x = _mix_c(x, sd, "Mixed_6c")
+        x = _mix_c(x, sd, "Mixed_6d")
+        x = _mix_c(x, sd, "Mixed_6e")
+        x = _mix_d(x, sd, "Mixed_7a")
+        x = _mix_e(x, sd, "Mixed_7b", pool="avg")
+        x = _mix_e(x, sd, "Mixed_7c", pool="max")
+        x = x.mean(dim=[2, 3])
+    return x.numpy()

@@ -278,3 +278,24 @@ def inception_from_torch(sd) -> Dict[str, Any]:
                 set_in(bs, parts[:-1] + ["var"], val)
         # num_batches_tracked ignored
     return {"params": p, "batch_stats": bs}
+
+
+def inception_to_torch(variables) -> Dict[str, np.ndarray]:
+    """Flax ``InceptionV3FID`` variables → pytorch-fid-style flat state dict
+    (inverse of :func:`inception_from_torch`; used by parity tests)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def walk(ptree, btree, prefix):
+        if "conv" in ptree and "kernel" in ptree.get("conv", {}):
+            sd[f"{prefix}.conv.weight"] = _conv_out(ptree["conv"]["kernel"])
+            bn_p, bn_b = ptree["bn"], btree["bn"]
+            sd[f"{prefix}.bn.weight"] = _np(bn_p["scale"])
+            sd[f"{prefix}.bn.bias"] = _np(bn_p["bias"])
+            sd[f"{prefix}.bn.running_mean"] = _np(bn_b["mean"])
+            sd[f"{prefix}.bn.running_var"] = _np(bn_b["var"])
+            return
+        for k in ptree:
+            walk(ptree[k], btree[k], f"{prefix}.{k}" if prefix else k)
+
+    walk(variables["params"], variables["batch_stats"], "")
+    return sd

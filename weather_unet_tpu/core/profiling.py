@@ -1,0 +1,59 @@
+"""Tracing / per-step timing — the observability the reference lacks
+(SURVEY.md §5 'Tracing / profiling: No — add jax.profiler trace hooks').
+
+``trace(dir)`` wraps ``jax.profiler`` (viewable in TensorBoard / Perfetto);
+``StepTimer`` records wall-clock per step and reports p50/p90/mean.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, List, Optional
+
+
+@contextlib.contextmanager
+def trace(log_dir: Optional[str]):
+    """jax.profiler trace over the enclosed steps (no-op when dir is None)."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Wall-clock step timer with percentile summaries."""
+
+    def __init__(self, capacity: int = 1000):
+        self.capacity = capacity
+        self.samples: List[float] = []
+        self._t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self._t0
+        if len(self.samples) >= self.capacity:
+            self.samples.pop(0)
+        self.samples.append(dt)
+
+    def summary(self) -> Dict[str, float]:
+        import numpy as np
+
+        if not self.samples:
+            return {}
+        arr = np.asarray(self.samples)
+        return {
+            "step_time_ms/mean": float(arr.mean() * 1e3),
+            "step_time_ms/p50": float(np.percentile(arr, 50) * 1e3),
+            "step_time_ms/p90": float(np.percentile(arr, 90) * 1e3),
+            "steps_per_sec": float(1.0 / arr.mean()),
+        }

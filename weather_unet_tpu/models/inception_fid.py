@@ -173,7 +173,8 @@ class InceptionV3FID(nn.Module):
     def __call__(self, x, *, train: bool = False):
         dt = self.dtype
         if self.resize_input and (x.shape[1], x.shape[2]) != (299, 299):
-            x = resize_bilinear_torch(x, 299, 299)
+            # reference uses align_corners=False here (eval/inception.py:146-150)
+            x = resize_bilinear_torch(x, 299, 299, align_corners=False)
         if self.normalize_input:
             x = 2.0 * x - 1.0
         x = x.astype(dt)

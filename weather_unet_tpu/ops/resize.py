@@ -19,13 +19,23 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=64)
-def _interp_matrix_np(n_out: int, n_in: int) -> np.ndarray:
-    """(n_out, n_in) row-stochastic bilinear weights, align_corners=True."""
+def _interp_matrix_np(n_out: int, n_in: int,
+                      align_corners: bool = True) -> np.ndarray:
+    """(n_out, n_in) row-stochastic bilinear weights.
+
+    ``align_corners=True``: src = i*(n_in-1)/(n_out-1) (torch Upsample in the
+    generator).  ``align_corners=False``: half-pixel src = (i+0.5)*s - 0.5
+    clamped (torch F.interpolate default; the FID input resize —
+    ``eval/inception.py:146-150``)."""
     m = np.zeros((n_out, n_in), dtype=np.float64)
-    if n_out == 1 or n_in == 1:
-        src = np.zeros(n_out)
+    if align_corners:
+        if n_out == 1 or n_in == 1:
+            src = np.zeros(n_out)
+        else:
+            src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
     else:
-        src = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+        scale = n_in / n_out
+        src = np.clip((np.arange(n_out) + 0.5) * scale - 0.5, 0.0, n_in - 1)
     i0 = np.floor(src).astype(np.int64)
     i0 = np.clip(i0, 0, n_in - 1)
     i1 = np.clip(i0 + 1, 0, n_in - 1)
@@ -36,14 +46,15 @@ def _interp_matrix_np(n_out: int, n_in: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
-def resize_bilinear_torch(x, out_h: int, out_w: int):
-    """NHWC bilinear resize matching ``F.interpolate(..., align_corners=True)``."""
+def resize_bilinear_torch(x, out_h: int, out_w: int, *,
+                          align_corners: bool = True):
+    """NHWC bilinear resize matching ``F.interpolate`` (both conventions)."""
     n, h, w, c = x.shape
     if (h, w) == (out_h, out_w):
         return x
     dt = x.dtype
-    mh = jnp.asarray(_interp_matrix_np(out_h, h), dtype=dt)
-    mw = jnp.asarray(_interp_matrix_np(out_w, w), dtype=dt)
+    mh = jnp.asarray(_interp_matrix_np(out_h, h, align_corners), dtype=dt)
+    mw = jnp.asarray(_interp_matrix_np(out_w, w, align_corners), dtype=dt)
     # (O_h, H) x (N, H, W, C) -> (N, O_h, W, C); then along W.
     y = jnp.einsum("oh,nhwc->nowc", mh, x, preferred_element_type=dt)
     y = jnp.einsum("pw,nowc->nopc", mw, y, preferred_element_type=dt)

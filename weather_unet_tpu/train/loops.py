@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from weather_unet_tpu.core.optim import torch_adam
+from weather_unet_tpu.core.profiling import StepTimer, trace
 from weather_unet_tpu.core.state import GanTrainState, TrainState
 from weather_unet_tpu.data.pipeline import BatchLoader, device_prefetch
 from weather_unet_tpu.data.transforms import AugmentConfig, augment_batch, normalize_batch
@@ -43,7 +44,7 @@ class WeatherTransferTrainer:
                  save_dir: str = "cp/transfer", name: str = "cUNet",
                  log_dir: str = "runs", augment: bool = False,
                  plan: Optional[MeshPlan] = None, seed: int = 0,
-                 export_torch: bool = False):
+                 export_torch: bool = False, profile_dir: Optional[str] = None):
         self.cfg = cfg
         self.name = name
         self.save_dir = save_dir
@@ -76,6 +77,8 @@ class WeatherTransferTrainer:
         self._rng = jax.random.key(seed + 1)
         self.scalar_dict = {}
         self.image_dict = {}
+        self.profile_dir = profile_dir
+        self._timer = StepTimer()
 
     # ------------------------------------------------------------- state io
     def _resume(self):
@@ -130,8 +133,9 @@ class WeatherTransferTrainer:
             gstep = int(self.state.global_step) + 1
             do_g = gstep % self.cfg.gd_train_ratio == 0
             fn = self._step_dg if do_g else self._step_d
-            self.state, metrics = fn(
-                self.state, images, c_d, rand_images, c_r, self._next_rng())
+            with self._timer:
+                self.state, metrics = fn(
+                    self.state, images, c_d, rand_images, c_r, self._next_rng())
 
             self.scalar_dict.update(
                 {f"losses/{k}/train": float(v) for k, v in metrics.items()})
@@ -162,6 +166,8 @@ class WeatherTransferTrainer:
 
     def update_summary(self):
         step = int(self.state.global_step)
+        self.scalar_dict.update(
+            {f"perf/{k}": v for k, v in self._timer.summary().items()})
         if self.scalar_dict:
             self.writer.add_scalars(self.scalar_dict, step)
         for tag, imgs in self.image_dict.items():
@@ -171,9 +177,10 @@ class WeatherTransferTrainer:
     def fit(self, train_loader_fn: Callable[[], Iterable],
             random_loader_fn: Callable[[], Iterable], test_batches=None,
             labeled: bool = False):
-        for _ in range(self.cfg.num_epoch):
-            self.train_epoch(train_loader_fn(), random_loader_fn(),
-                             test_batches=test_batches, labeled=labeled)
+        with trace(self.profile_dir):
+            for _ in range(self.cfg.num_epoch):
+                self.train_epoch(train_loader_fn(), random_loader_fn(),
+                                 test_batches=test_batches, labeled=labeled)
         print("Done: training")
 
 
