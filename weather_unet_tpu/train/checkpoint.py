@@ -9,7 +9,7 @@ Mirrors the reference's behavior (SURVEY.md §5):
 * a PyTorch-format export/import shim keeps checkpoint compatibility with the
   reference tooling (``compat/torch_io.py``).
 
-Format: Orbax (one directory per step) with msgpack fallback.
+Format: flax msgpack, one file per step (atomic rename), newest-wins resume.
 """
 
 from __future__ import annotations

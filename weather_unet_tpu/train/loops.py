@@ -59,7 +59,8 @@ class WeatherTransferTrainer:
         step = make_gan_step(self.gen, self.disc, est_apply, cfg)
         bsh, rsh = self.plan.batch(), self.plan.replicated()
         shardings = dict(
-            in_shardings=(rsh, bsh, bsh, bsh, bsh, rsh), out_shardings=(rsh, rsh))
+            in_shardings=(rsh, bsh, bsh, bsh, bsh, rsh), out_shardings=(rsh, rsh),
+            donate_argnums=(0,))  # state buffers reused in place
         self._step_dg = jax.jit(functools.partial(step, do_g=True), **shardings)
         self._step_d = jax.jit(functools.partial(step, do_g=False), **shardings)
         self._eval = jax.jit(make_eval_step(self.gen, self.disc, est_apply, cfg))
