@@ -149,3 +149,24 @@ def test_inception_forward_matches_torch_mirror(inception, rng):
     sd = inception_to_torch(variables)
     theirs = torch_mirror.inception_fid_forward(x, sd)
     np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+
+def test_inception_fc_head_roundtrip(rng):
+    """with_logits head: shape + torch round trip through the importer."""
+    import torch
+    from weather_unet_tpu.compat.torch_io import inception_from_torch, inception_to_torch
+
+    model = InceptionV3FID(with_logits=True)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+    out = model.apply(variables, jnp.zeros((2, 299, 299, 3)))
+    assert out.shape == (2, 1008)
+
+    sd = inception_to_torch(variables)
+    # emulate the TF-port flat keys for the head
+    sd["fc.weight"] = np.transpose(np.asarray(variables["params"]["fc"]["kernel"]))
+    sd["fc.bias"] = np.asarray(variables["params"]["fc"]["bias"])
+    back = inception_from_torch(sd)
+    out2 = model.apply({"params": back["params"],
+                        "batch_stats": back["batch_stats"]},
+                       jnp.zeros((2, 299, 299, 3)))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-6)

@@ -35,24 +35,25 @@ def main(argv=None):
 
     from weather_unet_tpu.models.inception_fid import InceptionV3FID
 
-    model = InceptionV3FID()
     if args.weights:
         from weather_unet_tpu.compat.torch_io import inception_from_torch, load_torch_file
 
         variables = inception_from_torch(load_torch_file(args.weights))
+        with_head = "fc" in variables["params"]
+        model = InceptionV3FID(with_logits=with_head)
     else:
+        model = InceptionV3FID()
+        with_head = False
         variables = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
         print("WARNING: random Inception weights (no local checkpoint given); "
               "scores are structural smoke values only")
 
-    import flax.linen as nn
-
     @jax.jit
     def probs_fn(batch):
-        feats = model.apply(variables, jnp.asarray(batch, jnp.float32))
-        # project features to a softmax over 1000 pseudo-classes when no fc
-        # head is available; with TF-ported weights the fc head would be used.
-        logits = feats[:, :1000]
+        out = model.apply(variables, jnp.asarray(batch, jnp.float32))
+        # with real TF-ported weights: softmax over the 1008-way fc head;
+        # otherwise truncate random features to 1000 pseudo-classes.
+        logits = out if with_head else out[:, :1000]
         return jax.nn.softmax(logits, axis=1)
 
     probs = np.concatenate(

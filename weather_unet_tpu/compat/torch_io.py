@@ -248,7 +248,8 @@ def inception_from_torch(sd) -> Dict[str, Any]:
     ``Mixed_5b.branch1x1.conv.weight`` / ``...bn.{weight,bias,running_*}``)
     → Flax variables for ``models.inception_fid.InceptionV3FID``.
 
-    The 1008-way ``fc`` head of the TF port is dropped (FID uses pool3 only).
+    The 1008-way ``fc`` head of the TF port is kept (used by the Inception
+    Score CLI); FID itself reads pool3 only.
     """
     sd = _state_dict_np(sd)
     p: Dict[str, Any] = {}
@@ -262,7 +263,13 @@ def inception_from_torch(sd) -> Dict[str, Any]:
 
     for key, val in sd.items():
         parts = key.split(".")
-        if parts[0] == "fc":
+        if parts[0] == "fc":   # TF-port 1008-way head (kept for IS)
+            if parts[1] == "weight":
+                p["fc"] = p.get("fc", {})
+                p["fc"]["kernel"] = _lin_in(val)
+            elif parts[1] == "bias":
+                p["fc"] = p.get("fc", {})
+                p["fc"]["bias"] = val
             continue
         if parts[-2] == "conv" and parts[-1] == "weight":
             set_in(p, parts[:-1] + ["kernel"], _conv_in(val))
@@ -294,8 +301,13 @@ def inception_to_torch(variables) -> Dict[str, np.ndarray]:
             sd[f"{prefix}.bn.running_mean"] = _np(bn_b["mean"])
             sd[f"{prefix}.bn.running_var"] = _np(bn_b["var"])
             return
+        if "kernel" in ptree:  # dense head (fc)
+            sd[f"{prefix}.weight"] = _lin_out(ptree["kernel"])
+            if "bias" in ptree:
+                sd[f"{prefix}.bias"] = _np(ptree["bias"])
+            return
         for k in ptree:
-            walk(ptree[k], btree[k], f"{prefix}.{k}" if prefix else k)
+            walk(ptree[k], btree.get(k, {}), f"{prefix}.{k}" if prefix else k)
 
     walk(variables["params"], variables["batch_stats"], "")
     return sd

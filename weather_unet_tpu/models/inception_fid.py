@@ -162,11 +162,14 @@ class InceptionE(nn.Module):
 
 
 class InceptionV3FID(nn.Module):
-    """Pool3 (2048-d) feature extractor; optionally also the 1008-way logits
-    head used by the TF-ported FID checkpoint."""
+    """Pool3 (2048-d) feature extractor; ``with_logits=True`` adds the
+    1008-way fc head carried by the TF-ported FID checkpoint (used for
+    Inception Score when real weights are supplied)."""
 
     resize_input: bool = True
     normalize_input: bool = True
+    with_logits: bool = False
+    num_logits: int = 1008
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -197,4 +200,9 @@ class InceptionV3FID(nn.Module):
         x = InceptionD(dtype=dt, name="Mixed_7a")(x, train=train)
         x = InceptionE("avg", dtype=dt, name="Mixed_7b")(x, train=train)
         x = InceptionE("max", dtype=dt, name="Mixed_7c")(x, train=train)
-        return jnp.mean(x, axis=(1, 2))   # adaptive avg pool -> (B, 2048)
+        feats = jnp.mean(x, axis=(1, 2))   # adaptive avg pool -> (B, 2048)
+        if self.with_logits:
+            from weather_unet_tpu.models.common import TorchDense
+
+            return TorchDense(self.num_logits, dtype=dt, name="fc")(feats)
+        return feats
