@@ -42,6 +42,43 @@ class RDoubleConv(nn.Module):
         return x
 
 
+class DoubleConvDown(nn.Module):
+    """Reference ``double_conv`` (``nets.py:10-16``): conv3x3 → conv3x3
+    stride-2 → affine-less BN → LeakyReLU(0.2).  Unused by the reference's
+    own forward paths; provided for API completeness."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        from weather_unet_tpu.models.common import BatchNorm2d
+
+        in_ch = x.shape[-1]
+        x = TorchConv(in_ch, kernel_size=3, padding=1, dtype=self.dtype,
+                      name="conv1")(x)
+        x = TorchConv(self.features, kernel_size=3, stride=2, padding=1,
+                      dtype=self.dtype, name="conv2")(x)
+        x = BatchNorm2d(affine=False, dtype=self.dtype, name="bn")(
+            x, use_running_average=not train)
+        return nn.leaky_relu(x, negative_slope=0.2)
+
+
+class UpsampleBox(nn.Module):
+    """Reference ``upsample_box`` (``nets.py:4-8``): bilinear ×2
+    (align_corners) → affine-less BN.  Unused variant, kept for completeness."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        from weather_unet_tpu.models.common import BatchNorm2d
+
+        x = upsample_bilinear_align_corners(x)
+        return BatchNorm2d(affine=False, dtype=self.dtype, name="bn")(
+            x, use_running_average=not train)
+
+
 class AdaINBlock(nn.Module):
     """AdaIN conditioned on the weather vector — reference ``utils.py:26-51``.
 
