@@ -17,6 +17,7 @@ def build_parser():
     p.add_argument("--pkl_path", type=str, required=True,
                    help="i2w split pickle {'train': paths, 'test': paths}")
     p.add_argument("--save_path", type=str, default="cp/classifier")
+    p.add_argument("--log_dir", type=str, default="runs")
     p.add_argument("--name", type=str, default="noname-classifier")
     p.add_argument("--gpu", type=str, default="0", help="parity flag; ignored")
     p.add_argument("--input_size", type=int, default=224)
@@ -41,7 +42,7 @@ def main(argv=None):
     from weather_unet_tpu.data.pipeline import BatchLoader
     from weather_unet_tpu.data.sampler import ImbalancedSampler
     from weather_unet_tpu.data.transforms import AugmentConfig
-    from weather_unet_tpu.models import ResNet101
+    from weather_unet_tpu.cli.common import ResNet101
     from weather_unet_tpu.train.loops import train_supervised
     from weather_unet_tpu.train.metrics import SummaryWriter, run_comment
     from weather_unet_tpu.train.supervised import (
@@ -71,7 +72,7 @@ def main(argv=None):
         return BatchLoader(test_set, batch_size=args.batch_size,
                            num_workers=args.num_workers)
 
-    writer = SummaryWriter(comment=run_comment(
+    writer = SummaryWriter(log_dir=args.log_dir, comment=run_comment(
         args.lr, args.batch_size, args.num_epoch, args.name))
     aug = AugmentConfig(out_size=args.input_size, resized_crop=args.augmentation,
                         brightness=0.5 if args.augmentation else 0.0,
@@ -80,7 +81,8 @@ def main(argv=None):
     train_supervised(
         model, make_classifier_step(model, mask),
         make_eval_metrics(model, "classifier"),
-        train_loader, test_loader, state=state, num_epoch=args.num_epoch,
+        train_loader, test_loader, state=state, batch_size=args.batch_size,
+        num_epoch=args.num_epoch,
         writer=writer, augment_cfg=aug, save_dir=args.save_path, name=args.name,
         eval_per_iter=500, target_dtype=jnp.int32)
     print("Done: training")

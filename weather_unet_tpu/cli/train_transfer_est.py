@@ -17,6 +17,7 @@ def build_parser():
     p.add_argument("--name", type=str, default="cUNet")
     p.add_argument("--gpu", type=str, default="0", help="parity flag; ignored")
     p.add_argument("--save_dir", type=str, default="cp/transfer")
+    p.add_argument("--log_dir", type=str, default="runs")
     p.add_argument("--pkl_path", type=str, required=True)
     p.add_argument("--stats_pkl", type=str, default=None,
                    help="without-outlier frame for z-scoring (t_est_train.py:126)")
@@ -95,7 +96,8 @@ def main(argv=None):
 
     trainer = WeatherTransferTrainer(
         cfg, est_apply, save_dir=args.save_dir, name=args.name,
-        augment=args.augmentation, export_torch=args.export_torch)
+        log_dir=args.log_dir, augment=args.augmentation,
+        export_torch=args.export_torch)
     trainer.fit(train_loader, random_loader, test_batches=test_batches)
 
 

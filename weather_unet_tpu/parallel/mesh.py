@@ -39,11 +39,19 @@ class MeshPlan:
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
-              data: Optional[int] = None, model: int = 1) -> MeshPlan:
-    """Build a (data, model) mesh over the available devices."""
+              data: Optional[int] = None, model: int = 1,
+              batch_size: Optional[int] = None) -> MeshPlan:
+    """Build a (data, model) mesh over the available devices.
+
+    ``batch_size`` clamps the data axis to the largest divisor of the batch
+    (a batch of 4 on an 8-device host trains 4-way data-parallel, matching
+    the reference's small default batches — ``t_est_train.py:24``)."""
     devices = list(devices if devices is not None else jax.devices())
     if data is None:
         data = len(devices) // model
+        if batch_size is not None:
+            while data > 1 and batch_size % data != 0:
+                data -= 1
     arr = np.asarray(devices[: data * model]).reshape(data, model)
     return MeshPlan(Mesh(arr, ("data", "model")))
 

@@ -49,7 +49,7 @@ class WeatherTransferTrainer:
         self.name = name
         self.save_dir = save_dir
         self.export_torch = export_torch
-        self.plan = plan or make_mesh()
+        self.plan = plan or make_mesh(batch_size=cfg.batch_size)
         self.writer = SummaryWriter(
             log_dir, comment=run_comment(cfg.lr, cfg.batch_size, cfg.num_epoch, name))
 
@@ -187,6 +187,7 @@ class WeatherTransferTrainer:
 
 def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                      *, state: TrainState, plan: Optional[MeshPlan] = None,
+                     batch_size: Optional[int] = None,
                      num_epoch: int, writer: Optional[SummaryWriter] = None,
                      augment_cfg: Optional[AugmentConfig] = None,
                      save_dir: str = "cp", name: str = "model",
@@ -195,7 +196,7 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
     """Shared classifier/estimator loop (reference ``classifier.py:132-182``,
     ``estimator.py:170-227``): eval sweep every ``eval_per_iter`` iterations,
     checkpoint every ``save_per_epoch`` epochs."""
-    plan = plan or make_mesh()
+    plan = plan or make_mesh(batch_size=batch_size)
     bsh, rsh = plan.batch(), plan.replicated()
     jstep = jax.jit(step_fn, in_shardings=(rsh, bsh, bsh), out_shardings=(rsh, rsh))
     jeval = jax.jit(eval_fn, in_shardings=(rsh, rsh, bsh, bsh), out_shardings=rsh)
