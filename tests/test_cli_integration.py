@@ -249,3 +249,26 @@ def test_train_estimator_cli(world, tmp_path):
     from weather_unet_tpu.train import checkpoint as ckpt2
 
     assert ckpt2.latest_checkpoint(str(tmp_path / "cp"), "est2") is not None
+
+
+def test_eval_classifier_i2w_cli(world, tmp_path):
+    from weather_unet_tpu.cli import eval_classifier_i2w
+
+    out = eval_classifier_i2w.main([
+        "--pkl_path", world["split_pkl"], "--classifier_path", world["est"],
+        "--output_dir", str(tmp_path / "ec"), "--input_size", "32",
+        "--batch_size", "4", "--copy_misclassified"])
+    assert len(out["y_true"]) == 5  # one test image per class
+    assert out["confusion_matrix"].shape == (5, 5)
+
+
+def test_eval_estimator_cli(world, tmp_path):
+    from weather_unet_tpu.cli import eval_estimator
+
+    out = eval_estimator.main([
+        "--image_root", world["img_dir"], "--pkl_path", world["pkl"],
+        "--estimator_path", world["est"], "--output_dir", str(tmp_path / "ee"),
+        "--input_size", "32", "--batch_size", "4", "--mode", "test", "--plot"])
+    assert out["l1_mean"].shape == (5,)
+    assert os.path.exists(tmp_path / "ee" / "errors.pkl")
+    assert os.path.exists(tmp_path / "ee" / "hist.png")

@@ -1,7 +1,8 @@
 """Data pipeline: datasets, samplers, on-device augmentation, prefetch."""
 
 from weather_unet_tpu.data.datasets import (
-    FlickrDataset, ImagePathDataset, ClassImageDataset, OneYearWeatherSignals,
+    FlickrDataset, ImagePathDataset, ClassImageDataset, ImageFolder,
+    OneYearWeatherSignals,
     WEATHER_CLASSES_I2W, WEATHER_CLASSES_FLICKR, SIGNAL_COLUMNS,
     class_id_from_string, zscore_columns,
 )

@@ -204,3 +204,9 @@ class OneYearWeatherSignals:
 
     def __getitem__(self, idx: int):
         return self.image, self.conditions[idx], self.s_times[idx]
+
+
+# Reference ``ImageFolder`` (``dataset.py:139-152``) is a thin jpg
+# DatasetFolder whose behavior ClassImageDataset reproduces (class = parent
+# directory, RGB convert, transform); exposed under the reference name.
+ImageFolder = ClassImageDataset
