@@ -37,6 +37,20 @@ class MeshPlan:
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
 
+    def spatial(self) -> NamedSharding:
+        """Batch over 'data' AND image height over 'model' — spatial
+        partitioning for NHWC images.  The XLA SPMD partitioner inserts the
+        conv halo exchanges and turns AdaIN's per-image spatial reductions
+        and the upsample matmuls into the right collectives automatically
+        (verified equal to the unsharded forward/train-step at ~1e-5 in
+        tests/test_spatial_partition.py).
+
+        Constraint: the model-axis size must not exceed the height of the
+        DEEPEST feature map (cUNet: H/8; SNDisc: H/16) — below one row per
+        shard the partitioner silently degrades.  At the reference's
+        224-256^2 resolutions this allows up to 14-way spatial sharding."""
+        return NamedSharding(self.mesh, P("data", "model", None, None))
+
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
               data: Optional[int] = None, model: int = 1,
