@@ -26,15 +26,17 @@ def load_transfer(cp_path: str, num_classes: int = 5, dtype=jnp.float32):
         bundle = torch_io.load_torch_file(cp_path)
         variables = torch_io.cunet_from_torch(bundle["inference"])
     else:
-        x = jnp.zeros((1, 64, 64, 3))
-        c = jnp.zeros((1, num_classes))
-        target = model.init(jax.random.key(0), x, c)
         state = ckpt.restore_checkpoint(cp_path, None)
-        # our GAN checkpoints store the full GanTrainState dict
+        # our GAN checkpoints store the full GanTrainState dict; a bare
+        # variables dict (params only) is also accepted
         if isinstance(state, dict) and "gen" in state:
             variables = {"params": state["gen"]["params"]}
+        elif isinstance(state, dict) and "params" in state:
+            variables = {"params": state["params"]}
         else:
-            variables = target
+            raise ValueError(
+                f"unrecognized checkpoint layout in {cp_path}: "
+                f"expected a GanTrainState dict or a params tree")
     return model, variables
 
 

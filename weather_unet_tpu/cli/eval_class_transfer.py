@@ -28,7 +28,6 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    import numpy as np
     import jax.numpy as jnp
     import pandas as pd
 

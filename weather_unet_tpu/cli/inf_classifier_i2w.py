@@ -10,10 +10,8 @@ hard-exits when ``len(df) % batch_size != 0``).
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
-import jax.numpy as jnp
 
 from weather_unet_tpu.data.datasets import WEATHER_CLASSES_FLICKR
 

@@ -39,7 +39,6 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    import jax
     import jax.numpy as jnp
 
     from weather_unet_tpu.cli.common import load_estimator, load_flickr_frame

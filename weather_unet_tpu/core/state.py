@@ -9,7 +9,7 @@ SURVEY.md §5; we keep it).
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import optax

@@ -9,7 +9,6 @@ pays at ``t_est_train.py:381-382`` overlaps with compute here.
 from __future__ import annotations
 
 import collections
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Iterator, Optional, Sequence
 

@@ -22,7 +22,7 @@ All convs are bias-free + BatchNorm(eps=0.001) + ReLU (``BasicConv2d``).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

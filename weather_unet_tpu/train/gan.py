@@ -29,7 +29,6 @@ Faithfully reproduced training semantics:
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable, Optional
 
 import jax

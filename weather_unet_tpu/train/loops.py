@@ -14,17 +14,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from weather_unet_tpu.core.optim import torch_adam
 from weather_unet_tpu.core.profiling import StepTimer, trace
-from weather_unet_tpu.core.state import GanTrainState, TrainState
-from weather_unet_tpu.data.pipeline import BatchLoader, device_prefetch
+from weather_unet_tpu.core.state import TrainState
+from weather_unet_tpu.data.pipeline import device_prefetch
 from weather_unet_tpu.data.transforms import AugmentConfig, augment_batch, normalize_batch
 from weather_unet_tpu.parallel.mesh import MeshPlan, make_mesh
 from weather_unet_tpu.train import checkpoint as ckpt
 from weather_unet_tpu.train.gan import (
     GanConfig, build_gan_state, make_gan_step, make_eval_step,
 )
-from weather_unet_tpu.train.metrics import SummaryWriter, image_table, run_comment
+from weather_unet_tpu.train.metrics import SummaryWriter, run_comment
 
 
 class WeatherTransferTrainer:

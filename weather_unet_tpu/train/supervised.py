@@ -16,8 +16,6 @@ Rebuilds the reference's flat training scripts (``classifier.py:132-184``,
 
 from __future__ import annotations
 
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 
