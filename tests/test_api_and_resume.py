@@ -1,0 +1,89 @@
+"""Library API tests + exact-resume correctness."""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from weather_unet_tpu.api import WeatherTransfer
+from weather_unet_tpu.train import checkpoint as ckpt
+from weather_unet_tpu.train.gan import GanConfig, build_gan_state, make_gan_step
+
+
+def test_api_roundtrip(tmp_path, rng):
+    cfg = GanConfig(input_size=32)
+    gen, disc, state = build_gan_state(cfg, jax.random.key(0))
+    cp = str(tmp_path / "g.pt")
+    ckpt.export_torch_gan(cp, {"params": state.gen.params},
+                          {"params": state.disc.params,
+                           "spectral": state.spectral}, 0, 0)
+
+    wt = WeatherTransfer.load(cp)
+    u8 = rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8)
+    x = wt.preprocess(u8)
+    out = wt.translate(x, jnp.eye(5)[:2])
+    assert out.shape == (2, 32, 32, 3)
+    assert float(jnp.abs(out).max()) <= 1.0
+
+    alls = wt.translate_to_classes(x)
+    assert alls.shape == (5, 2, 32, 32, 3)
+    # class-0 row of the vmapped sweep equals the direct translation
+    direct = wt.translate(x, jnp.tile(jnp.eye(5)[0][None], (2, 1)))
+    np.testing.assert_allclose(np.asarray(alls[0]), np.asarray(direct), atol=1e-6)
+
+    frames = wt.sweep(x, lambda imgs: jnp.mean(imgs, axis=(1, 2)) @ jnp.ones((3, 5)),
+                      num_frames=3)
+    assert frames.shape == (3, 5, 2, 32, 32, 3)
+
+    img8 = wt.to_uint8(out)
+    assert img8.dtype == np.uint8 and img8.max() <= 255
+
+
+def test_resume_is_exact(tmp_path, rng):
+    """Checkpoint mid-training and resume: final state must equal the
+    uninterrupted run bit-for-bit (optimizer moments + spectral state are in
+    the checkpoint; the reference loses optimizer state — SURVEY.md §5)."""
+    cfg = GanConfig(input_size=32, batch_size=4)
+    gen, disc, state = build_gan_state(cfg, jax.random.key(0))
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    step = jax.jit(functools.partial(make_gan_step(gen, disc, est_apply, cfg),
+                                     do_g=True))
+    zeros = jnp.zeros(4, jnp.int32)
+
+    def batch(i):
+        r = np.random.default_rng(i)
+        return (jnp.asarray(r.standard_normal((4, 32, 32, 3)).astype(np.float32)),
+                jnp.asarray(r.standard_normal((4, 32, 32, 3)).astype(np.float32)))
+
+    # uninterrupted: 4 steps
+    s_full = state
+    for i in range(4):
+        a, b = batch(i)
+        s_full, _ = step(s_full, a, zeros, b, zeros, jax.random.key(i))
+
+    # interrupted: 2 steps, save, restore into a FRESH state, 2 more steps
+    s_half = state
+    for i in range(2):
+        a, b = batch(i)
+        s_half, _ = step(s_half, a, zeros, b, zeros, jax.random.key(i))
+    path = ckpt.save_checkpoint(str(tmp_path), "run", 2, s_half)
+
+    _, _, fresh = build_gan_state(cfg, jax.random.key(99))  # different init
+    s_res = ckpt.restore_checkpoint(path, fresh)
+    for i in range(2, 4):
+        a, b = batch(i)
+        s_res, _ = step(s_res, a, zeros, b, zeros, jax.random.key(i))
+
+    for a, b in zip(jax.tree.leaves(s_full.gen.params),
+                    jax.tree.leaves(s_res.gen.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s_full.disc.opt_state),
+                    jax.tree.leaves(s_res.disc.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(s_full.spectral),
+                    jax.tree.leaves(s_res.spectral)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

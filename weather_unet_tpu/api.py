@@ -1,0 +1,103 @@
+"""High-level library API: load once, translate many.
+
+The reference exposes its capabilities only through scripts; this module
+wraps the same checkpoint formats behind a serving-friendly object:
+
+    wt = WeatherTransfer.load("ckpt.pt")            # or msgpack
+    out = wt.translate(images, conditions)          # NHWC [-1,1] -> [-1,1]
+    outs = wt.translate_to_classes(images)          # all 5 one-hots, vmapped
+    frames = wt.sweep(images, estimator)            # demo-style theta sweep
+    u8 = wt.to_uint8(out)                           # (x+1)*127.5 denorm
+
+Forward functions are jitted once per input shape; bf16 serving via
+``dtype=jnp.bfloat16`` (measured drift vs f32: 9.4e-4 MAE, see bench.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class WeatherTransfer:
+    """Checkpointed conditional U-Net with jitted translation entry points."""
+
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+
+        @jax.jit
+        def _translate(x, c):
+            return model.apply(variables, x, c)
+
+        self._translate = _translate
+
+        @jax.jit
+        def _translate_all(x):
+            eye = jnp.eye(model.num_classes, dtype=x.dtype)
+
+            def per_class(onehot):
+                cc = jnp.tile(onehot[None, :], (x.shape[0], 1))
+                return model.apply(variables, x, cc)
+
+            return jax.vmap(per_class)(eye)
+
+        self._translate_all = _translate_all
+
+    @classmethod
+    def load(cls, cp_path: str, num_classes: int = 5, dtype=jnp.float32):
+        """Load from a reference ``.pt`` GAN bundle or our msgpack checkpoint."""
+        from weather_unet_tpu.cli.common import load_transfer
+
+        model, variables = load_transfer(cp_path, num_classes=num_classes,
+                                         dtype=dtype)
+        return cls(model, variables)
+
+    def translate(self, images, conditions):
+        """(B,H,W,3) in [-1,1] + (B,num_classes) conditions -> translated."""
+        return self._translate(jnp.asarray(images), jnp.asarray(conditions))
+
+    def translate_to_classes(self, images):
+        """All one-hot class translations: -> (num_classes, B, H, W, 3)."""
+        return self._translate_all(jnp.asarray(images))
+
+    def sweep(self, images, estimate: Callable, num_frames: int = 10,
+              alpha: float = 2.0):
+        """demo.py theta sweep: (T, num_classes, B, H, W, 3) frames where axis
+        k's condition is sin(theta)*alpha with estimator predictions elsewhere
+        (``demo.py:71-78``)."""
+        n_cls = self.model.num_classes
+        thetas = jnp.asarray(
+            np.arange(-np.pi / 2, np.pi / 2 + np.pi / num_frames,
+                      np.pi / (num_frames - 1)), jnp.float32)
+        x = jnp.asarray(images)
+        pred = estimate(x)
+        eye = jnp.eye(n_cls, dtype=x.dtype)
+
+        @jax.jit
+        def _sweep(x, pred):
+            def per_theta(theta):
+                def per_axis(onehot):
+                    c = (jnp.sin(theta) * alpha * onehot)[None, :] \
+                        + (1.0 - onehot)[None, :] * pred
+                    return self.model.apply(self.variables, x, c)
+                return jax.vmap(per_axis)(eye)
+            return jax.vmap(per_theta)(thetas)
+
+        return _sweep(x, pred)
+
+    @staticmethod
+    def to_uint8(images) -> np.ndarray:
+        """``(x + 1) * 127.5`` denormalization (``demo.py:80``)."""
+        return ((np.asarray(images) + 1.0) * 127.5).clip(0, 255).astype(np.uint8)
+
+    @staticmethod
+    def preprocess(images_u8, out_size: Optional[int] = None):
+        """uint8 NHWC -> normalized [-1,1] float (test transform)."""
+        from weather_unet_tpu.data.transforms import normalize_batch
+
+        return normalize_batch(jnp.asarray(images_u8), out_size=out_size)
