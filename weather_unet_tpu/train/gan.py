@@ -194,16 +194,13 @@ def make_eval_step(gen: ConditionalUNet, disc: SNDisc, est_apply: Callable,
     whole test batch to each reference sample's condition, score G/D losses.
 
     The reference loops over the batch re-running the whole batch per
-    reference sample; here that is one vmapped computation.  NOTE: the
-    reference runs G in train mode here (dropout active,
-    ``t_est_train.py:299-308``) — reproduced via ``dropout_rng``.
+    reference sample; here that is one vmapped computation.  NOTES:
+    * the reference runs G in train mode here (dropout active,
+      ``t_est_train.py:299-308``) — reproduced via ``dropout_rng``;
+    * ``g_loss_w`` scores the estimator's RAW outputs against the requested
+      labels in both modes (``t_cls_train.py:337`` uses ``estimator_``, the
+      pre-softmax net) — hence ``est_apply`` directly, no softmax.
     """
-
-    def conditions_from(images):
-        out = est_apply(images)
-        if cfg.mode == "cls":
-            out = jax.nn.softmax(out, axis=1)
-        return out
 
     def eval_step(state: GanTrainState, images, labels, ref_labels, dropout_rng):
         bsz = images.shape[0]
@@ -212,7 +209,7 @@ def make_eval_step(gen: ConditionalUNet, disc: SNDisc, est_apply: Callable,
             ref_expand = jnp.tile(ref_label[None, :], (bsz, 1))
             fake = gen.apply({"params": state.gen.params}, images, ref_expand,
                              train=True, rngs={"dropout": rng})
-            fake_c = conditions_from(fake)
+            fake_c = est_apply(fake)
             (real_out, _) = disc.apply(
                 {"params": state.disc.params, "spectral": state.spectral},
                 images, labels)
