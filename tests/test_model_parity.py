@@ -131,3 +131,23 @@ def test_resnet_torch_roundtrip():
     a = np.asarray(model.apply(variables, jnp.asarray(x)))
     b = np.asarray(model.apply(variables2, jnp.asarray(x)))
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_resnet101_full_depth_smoke():
+    """The real 101-layer config initializes, runs, and round-trips its
+    torchvision-format state dict (23 bottlenecks in layer3 etc.)."""
+    from weather_unet_tpu.models import ResNet101
+
+    model = ResNet101(num_classes=5)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x)
+    p = variables["params"]
+    assert "layer3_22" in p and "layer4_2" in p and "layer3_23" not in p
+    out = model.apply(variables, x)
+    assert out.shape == (1, 5)
+    sd = torch_io.resnet_to_torch(variables)
+    assert "layer3.22.conv3.weight" in sd
+    assert sd["fc.weight"].shape == (5, 2048)
+    back = torch_io.resnet_from_torch(sd)
+    out2 = model.apply(back, x)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-6)
