@@ -29,7 +29,7 @@ def main():
     import jax.numpy as jnp
     from weather_unet_tpu.models import ConditionalUNet
 
-    batch, size = 32, 256
+    batch, size = 128, 256
     model = ConditionalUNet(num_classes=5, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     # bf16 inputs: chaining output->input below must keep one compiled shape/dtype
@@ -57,7 +57,7 @@ def main():
 
     # throughput: repeated batched translation, chained so iterations can't
     # be skipped, with a host read-back barrier at the end
-    n_iter = 30
+    n_iter = 20
     t0 = time.perf_counter()
     out = images
     for _ in range(n_iter):
