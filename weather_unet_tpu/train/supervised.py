@@ -30,7 +30,10 @@ def _masked_grads(grads, trainable_mask):
 
 
 def make_classifier_step(model, trainable_mask=None):
-    """One classifier train step.  ``state.extra`` holds BN batch_stats."""
+    """One classifier train step.  ``state.extra`` holds BN batch_stats.
+
+    The ``accuracy`` metric is the reference's ``precision``
+    (``classifier.py:41-43`` defines it as mean(argmax == labels))."""
 
     def step(state: TrainState, images, labels):
         def loss_fn(params):
