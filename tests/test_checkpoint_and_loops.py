@@ -98,3 +98,35 @@ def test_gan_trainer_smoke(tmp_path):
     tr2 = WeatherTransferTrainer(
         cfg, est_apply, save_dir=str(tmp_path), name="t", log_dir=str(tmp_path / "runs"))
     assert int(tr2.state.global_step) >= 2
+
+
+def test_gan_trainer_gd_ratio(tmp_path):
+    """GD_train_ratio=2: G updates only on even global steps
+    (t_est_train.py:390: ``global_step % GD_train_ratio == 0``)."""
+    import jax.numpy as jnp
+    from weather_unet_tpu.train.gan import GanConfig
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    rng = np.random.default_rng(0)
+
+    class FakeLoader:
+        def __iter__(self):
+            for _ in range(1):
+                yield (rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+                       rng.standard_normal((4, 5)).astype(np.float32))
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    cfg = GanConfig(input_size=32, batch_size=4, num_epoch=1, gd_train_ratio=2)
+    tr = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path), name="r", log_dir=str(tmp_path / "runs"))
+
+    g0 = np.asarray(jax.tree.leaves(tr.state.gen.params)[0]).copy()
+    tr.train_epoch(FakeLoader(), FakeLoader())   # step 1: d only
+    g1 = np.asarray(jax.tree.leaves(tr.state.gen.params)[0])
+    np.testing.assert_array_equal(g0, g1)        # G untouched on odd step
+
+    tr.train_epoch(FakeLoader(), FakeLoader())   # step 2: d + g
+    g2 = np.asarray(jax.tree.leaves(tr.state.gen.params)[0])
+    assert not np.allclose(g1, g2)               # G updated on even step
