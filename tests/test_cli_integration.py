@@ -272,3 +272,17 @@ def test_eval_estimator_cli(world, tmp_path):
     assert out["l1_mean"].shape == (5,)
     assert os.path.exists(tmp_path / "ee" / "errors.pkl")
     assert os.path.exists(tmp_path / "ee" / "hist.png")
+
+
+def test_train_transfer_est_image_only(world, tmp_path):
+    """--image_only: trains from a raw directory, conditions entirely from
+    the frozen estimator (t_est_train.py:116-121 split semantics)."""
+    from weather_unet_tpu.cli import train_transfer_est
+
+    train_transfer_est.main([
+        "--image_root", world["img_dir"], "--pkl_path", "unused.pkl",
+        "--estimator_path", world["est"], "--name", "io", "--image_only",
+        "--save_dir", str(tmp_path / "cp"), "--log_dir", str(tmp_path / "runs"),
+        "--input_size", "32", "--batch_size", "4", "--num_epoch", "1",
+        "--num_workers", "2"])
+    assert (tmp_path / "runs").exists()

@@ -57,14 +57,25 @@ def main(argv=None):
 
     est_apply = load_estimator(args.estimator_path)
 
-    df, _, _ = load_flickr_frame(args.pkl_path, stats_pkl=args.stats_pkl)
-    df = df.sample(frac=1)
-    train_df = df[df["mode"] == "train"]
-    test_df = df[df["mode"] == "test"]
     base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
-    mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
-                                      out_size=base, imbalance=imb)
-    train_set = mk(train_df, False)
+    if args.image_only:
+        # raw directory, 70/30 split (t_est_train.py:116-121); conditions come
+        # entirely from the frozen estimator
+        from weather_unet_tpu.cli.common import list_images
+        from weather_unet_tpu.data.datasets import ImagePathDataset
+
+        paths = list_images(args.image_root)
+        pivot = int(len(paths) * 0.7)
+        train_set = ImagePathDataset(paths[:pivot], out_size=base)
+        test_df = None
+    else:
+        df, _, _ = load_flickr_frame(args.pkl_path, stats_pkl=args.stats_pkl)
+        df = df.sample(frac=1)
+        train_df = df[df["mode"] == "train"]
+        test_df = df[df["mode"] == "test"]
+        mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
+                                          out_size=base, imbalance=imb)
+        train_set = mk(train_df, False)
 
     def train_loader():
         return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
@@ -81,7 +92,7 @@ def main(argv=None):
 
     # two cached test batches (t_est_train.py:198-207)
     test_batches = None
-    if len(test_df) >= 2 * args.batch_size:
+    if test_df is not None and len(test_df) >= 2 * args.batch_size:
         test_set = FlickrDataset(args.image_root, test_df, SIGNAL_COLUMNS,
                                  out_size=args.input_size)
         it = iter(BatchLoader(test_set, batch_size=args.batch_size, shuffle=True,
