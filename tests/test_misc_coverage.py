@@ -113,3 +113,25 @@ def test_unused_reference_variants(rng):
     vu = up.init(jax.random.key(0), x)
     z = up.apply(vu, x)
     assert z.shape == (2, 32, 32, 8)
+
+
+def test_conditional_norm_module(rng):
+    """ConditionalNorm: per-class gamma/beta lookup over affine-less BN
+    (reference utils.py:7-23 semantics; init gamma=1, beta=0 -> identity
+    modulation at init)."""
+    import torch
+    import torch.nn.functional as F
+
+    from weather_unet_tpu.models.common import ConditionalNorm
+
+    x = rng.standard_normal((4, 8, 8, 6)).astype(np.float32)
+    cls = jnp.asarray([0, 1, 2, 0])
+    m = ConditionalNorm(num_classes=5)
+    v = m.init(jax.random.key(0), jnp.asarray(x), cls, train=True)
+    out, _ = m.apply(v, jnp.asarray(x), cls, train=True, mutable=["batch_stats"])
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = F.batch_norm(xt, torch.zeros(6), torch.ones(6), None, None,
+                       training=True, momentum=0.1)
+    np.testing.assert_allclose(np.asarray(out),
+                               ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)

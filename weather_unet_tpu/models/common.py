@@ -211,3 +211,30 @@ class BatchNorm2d(nn.Module):
             beta = self.param("bias", lambda _k: jnp.zeros(c, self.param_dtype))
             y = y * gamma + beta
         return y.astype(self.dtype)
+
+
+class ConditionalNorm(nn.Module):
+    """Class-conditional BatchNorm (reference ``utils.py:7-23``): affine-less
+    BN2d followed by per-class gamma/beta from an embedding table
+    (gamma rows init 1, beta rows init 0).  Defined-but-unused in the
+    reference forward paths; provided for API completeness."""
+
+    num_classes: int = 5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, class_id, *, train: bool = False):
+        c = x.shape[-1]
+        out = BatchNorm2d(affine=False, dtype=self.dtype, name="bn")(
+            x, use_running_average=not train)
+        embed = self.param(
+            "embed",
+            lambda _k: jnp.concatenate(
+                [jnp.ones((self.num_classes, c)), jnp.zeros((self.num_classes, c))],
+                axis=1,
+            ).astype(self.param_dtype),
+        )
+        gb = jnp.take(embed, class_id, axis=0)      # (B, 2C)
+        gamma, beta = gb[:, :c], gb[:, c:]
+        return (gamma[:, None, None, :] * out + beta[:, None, None, :]).astype(self.dtype)
