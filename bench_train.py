@@ -30,4 +30,4 @@ def run(batch, dtype_name):
     print(f"train step {dtype_name} B={batch}: {dt_s*1e3:.1f} ms/step -> {batch/dt_s:.1f} img/s  (g_loss={float(m['g_loss']):.3f})")
 
 run(8, "f32")
-run(32, "bf16")
+run(128, "bf16")
