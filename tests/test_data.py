@@ -169,3 +169,21 @@ def test_normalize_batch_matches_torch(rng):
     # NOTE: reference uses PIL Resize (antialiased); our device path uses
     # bilinear align_corners — documented substitution, checked loosely here.
     np.testing.assert_allclose(out, xt.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+def test_hflip_only_augment_is_exact(rng):
+    """With rotation/crop/jitter disabled, every augmented sample must be
+    EXACTLY the original or its horizontal mirror (flip matrices hit integer
+    coordinates, so bilinear sampling is exact)."""
+    imgs = rng.integers(0, 255, (16, 24, 24, 3), dtype=np.uint8)
+    cfg = AugmentConfig(out_size=24, degrees=0.0, hflip=True)
+    out = np.asarray(augment_batch(jax.random.key(3), jnp.asarray(imgs), cfg))
+    norm = np.asarray(normalize_batch(jnp.asarray(imgs)))
+    flipped = norm[:, :, ::-1]
+    n_flip = 0
+    for i in range(len(imgs)):
+        if np.allclose(out[i], norm[i], atol=1e-5):
+            continue
+        assert np.allclose(out[i], flipped[i], atol=1e-5), f"sample {i} is neither"
+        n_flip += 1
+    assert 0 < n_flip < len(imgs)  # both outcomes occur

@@ -40,6 +40,9 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from weather_unet_tpu.core.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from weather_unet_tpu.cli.common import load_estimator

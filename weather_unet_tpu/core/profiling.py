@@ -57,3 +57,19 @@ class StepTimer:
             "step_time_ms/p90": float(np.percentile(arr, 90) * 1e3),
             "steps_per_sec": float(1.0 / arr.mean()),
         }
+
+
+def enable_compilation_cache(path: str = "~/.cache/weather_unet_tpu_xla"):
+    """Persistent XLA compilation cache — first-compile times on TPU are
+    minutes (CLAUDE.md); caching makes restarts/resumes near-instant."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.path.expanduser(path)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"compilation cache disabled: {e}")
