@@ -175,11 +175,26 @@ def _bn_from(sd, prefix):
     )
 
 
-def resnet_from_torch(sd, block_counts=(3, 4, 23, 3)) -> Dict[str, Any]:
-    """torchvision ResNet state_dict → Flax variables (params + batch_stats)."""
+def _infer_block_counts(keys, sep=".") -> tuple:
+    """Count bottlenecks per layer from key names like layer3.22.* / layer3_22."""
+    counts = []
+    for li in range(1, 5):
+        n = 0
+        while any(k.startswith(f"layer{li}{sep}{n}{sep if sep == '.' else ''}")
+                  or k.startswith(f"layer{li}_{n}") for k in keys):
+            n += 1
+        counts.append(n)
+    return tuple(counts)
+
+
+def resnet_from_torch(sd, block_counts=None) -> Dict[str, Any]:
+    """torchvision ResNet state_dict → Flax variables (params + batch_stats).
+    ``block_counts=None`` infers the depth from the key names."""
     sd = _state_dict_np(sd)
     # whole-model pickles saved through DataParallel prefix keys with 'module.'
     sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
+    if block_counts is None:
+        block_counts = _infer_block_counts(sd.keys())
     p: Dict[str, Any] = {"conv1": {"kernel": _conv_in(sd["conv1.weight"])}}
     bs: Dict[str, Any] = {}
     p["bn1"], bs["bn1"] = _bn_from(sd, "bn1")
@@ -200,8 +215,10 @@ def resnet_from_torch(sd, block_counts=(3, 4, 23, 3)) -> Dict[str, Any]:
     return {"params": p, "batch_stats": bs}
 
 
-def resnet_to_torch(variables, block_counts=(3, 4, 23, 3)) -> Dict[str, np.ndarray]:
+def resnet_to_torch(variables, block_counts=None) -> Dict[str, np.ndarray]:
     p, bs = variables["params"], variables["batch_stats"]
+    if block_counts is None:
+        block_counts = _infer_block_counts(p.keys(), sep="_")
     sd: Dict[str, np.ndarray] = {"conv1.weight": _conv_out(p["conv1"]["kernel"])}
 
     def emit_bn(tkey, pb, sb):
