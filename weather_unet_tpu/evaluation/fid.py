@@ -116,6 +116,9 @@ def make_feature_fn(weights_path: Optional[str] = None, dtype=None):
         variables = inception_from_torch(load_torch_file(weights_path))
     else:
         variables = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))
+        print("WARNING: FID inception running with RANDOM weights (no local "
+              "pt_inception .pth provided); distances are not comparable to "
+              "published FID numbers")
 
     @jax.jit
     def feature_fn(images):
