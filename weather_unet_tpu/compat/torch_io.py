@@ -52,10 +52,20 @@ def _lin_out(w) -> np.ndarray:
 
 def load_torch_file(path: str) -> Any:
     """Load a ``.pt``/``.pth`` pickle.  Whole-model pickles (the reference's
-    estimator/classifier format) are reduced to their state_dict."""
+    estimator/classifier format, ``estimator.py:227``) are reduced to their
+    state_dict — unpickling those requires the defining package (torchvision)
+    to be importable; state-dict checkpoints need only torch."""
     import torch
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=False)
+    except ModuleNotFoundError as e:
+        raise ModuleNotFoundError(
+            f"{path} is a whole-model pickle that needs '{e.name}' to "
+            f"unpickle (the reference saves estimators this way, "
+            f"estimator.py:227). Convert it once in an environment with "
+            f"that package: torch.save(torch.load(p).state_dict(), out)"
+        ) from e
     if hasattr(obj, "state_dict"):
         obj = obj.state_dict()
     return obj
