@@ -86,9 +86,10 @@ def main(argv=None):
 
     def random_loader():
         if args.sampler:
-            imb_set = mk(train_df, True)
-            return BatchLoader(imb_set, batch_size=args.batch_size,
-                               sampler=ImbalancedSampler(imb_set),
+            # reference t_est builds the sampled loader over the SAME dataset
+            # (condition2 class labels), not w_condition (t_est_train.py:183-189)
+            return BatchLoader(train_set, batch_size=args.batch_size,
+                               sampler=ImbalancedSampler(train_set),
                                num_workers=args.num_workers)
         return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
                            seed=1, num_workers=args.num_workers)
