@@ -203,7 +203,7 @@ def test_train_transfer_est_cli(world, tmp_path):
 
     train_transfer_est.main([
         "--image_root", world["img_dir"], "--pkl_path", world["pkl"],
-        "--estimator_path", world["est"], "--name", "t",
+        "--estimator_path", world["est"], "--name", "t", "--sampler",
         "--save_dir", str(tmp_path / "cp"), "--log_dir", str(tmp_path / "runs"),
         "--input_size", "32", "--batch_size", "4", "--num_epoch", "1",
         "--num_workers", "2"])
