@@ -199,7 +199,13 @@ def make_eval_step(gen: ConditionalUNet, disc: SNDisc, est_apply: Callable,
       ``t_est_train.py:299-308``) — reproduced via ``dropout_rng``;
     * ``g_loss_w`` scores the estimator's RAW outputs against the requested
       labels in both modes (``t_cls_train.py:337`` uses ``estimator_``, the
-      pre-softmax net) — hence ``est_apply`` directly, no softmax.
+      pre-softmax net) — hence ``est_apply`` directly, no softmax;
+    * INTENTIONAL DEVIATION: the reference never switches D to eval mode, so
+      its spectral-norm ``u`` buffers advance by 2×batch_size power
+      iterations during each evaluation() sweep.  Here evaluation reads the
+      stored ``u`` without mutating it (the vmapped design is stateless).
+      Power iteration has long since converged at that point, so sigma —
+      and hence training dynamics — is unaffected beyond float noise.
     """
 
     def eval_step(state: GanTrainState, images, labels, ref_labels, dropout_rng):
