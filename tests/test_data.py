@@ -187,3 +187,36 @@ def test_hflip_only_augment_is_exact(rng):
         assert np.allclose(out[i], flipped[i], atol=1e-5), f"sample {i} is neither"
         n_flip += 1
     assert 0 < n_flip < len(imgs)  # both outcomes occur
+
+
+def test_process_local_assembly_matches_device_put():
+    """VERDICT round-1 item 5: the multi-host input seam.  On a single
+    process the process-local assembly path must produce the same global
+    array (values + sharding) as plain device_put; batches routed through
+    device_prefetch with assembly='process_local' must equal the 'global'
+    path."""
+    import jax
+    from weather_unet_tpu.data.pipeline import (
+        assemble_global_batch, device_prefetch)
+    from weather_unet_tpu.parallel.mesh import make_mesh
+
+    plan = make_mesh(jax.devices()[:8], data=8)
+    bsh = plan.batch()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 8, 8, 3)).astype(np.float32)
+
+    a = assemble_global_batch(bsh, x)
+    b = jax.device_put(x, bsh)
+    assert a.shape == b.shape and a.sharding == b.sharding
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    batches = [(x, rng.standard_normal((16, 5)).astype(np.float32))]
+    got_pl = list(device_prefetch(iter(batches), sharding=bsh,
+                                  device_fields=[0, 1],
+                                  assembly="process_local"))
+    got_g = list(device_prefetch(iter(batches), sharding=bsh,
+                                 device_fields=[0, 1], assembly="global"))
+    for (p0, p1), (g0, g1) in zip(got_pl, got_g):
+        assert p0.sharding == g0.sharding
+        np.testing.assert_array_equal(np.asarray(p0), np.asarray(g0))
+        np.testing.assert_array_equal(np.asarray(p1), np.asarray(g1))

@@ -80,3 +80,20 @@ def test_gan_step_spatially_sharded(rng):
     a = np.asarray(jax.tree.leaves(ref_state.gen.params)[0])
     b = np.asarray(jax.tree.leaves(s_state.gen.params)[0])
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_spatial_guard_rejects_oversharding():
+    """VERDICT round-1 item 8: MeshPlan.spatial must raise (not silently
+    degrade) when the model-axis degree exceeds the deepest feature-map
+    height."""
+    import pytest
+    from weather_unet_tpu.parallel.mesh import make_mesh
+
+    plan = make_mesh(jax.devices()[:8], data=2, model=4)
+    # 32px input, stride 16 -> deepest H = 2 < 4-way spatial sharding
+    with pytest.raises(ValueError, match="spatial partitioning degree"):
+        plan.spatial(input_size=32)
+    # 128px input -> deepest H = 8 >= 4: fine
+    plan.spatial(input_size=128)
+    # no input_size: unchecked (back-compat)
+    plan.spatial()

@@ -85,22 +85,56 @@ class BatchLoader:
                 yield _stack([f.result() for f in futs])
 
 
+def assemble_global_batch(sharding, local: np.ndarray):
+    """Build a globally-sharded ``jax.Array`` from this process's LOCAL batch.
+
+    The multi-host input seam (SURVEY.md §2.9 'host-sharded input pipeline
+    feeding per-device batches'): under multi-process JAX each host loads
+    only its slice of the global batch and
+    ``jax.make_array_from_process_local_data`` assembles the DCN-spanning
+    global array without any host ever materializing the full batch.  On a
+    single process the result is value-identical to
+    ``jax.device_put(local, sharding)`` (tests/test_data.py pins this), so
+    the same code path serves both scales.
+    """
+    import jax
+
+    return jax.make_array_from_process_local_data(sharding, local)
+
+
 def device_prefetch(iterator: Iterable, sharding=None, depth: int = 2,
-                    device_fields: Optional[Sequence[int]] = None):
+                    device_fields: Optional[Sequence[int]] = None,
+                    assembly: str = "auto"):
     """Asynchronously device_put batches ``depth`` steps ahead.
 
     ``device_fields`` selects which tuple fields go to device (object-dtype
     fields like photo ids stay on host).
+
+    ``assembly`` picks how a sharded global array is built from the host
+    batch: ``"global"`` treats the batch as the full global batch on every
+    process (single-host ``device_put``); ``"process_local"`` treats it as
+    this process's shard and assembles via
+    :func:`assemble_global_batch`; ``"auto"`` selects ``process_local`` iff
+    ``jax.process_count() > 1``.
     """
     import jax
+
+    if assembly not in ("auto", "global", "process_local"):
+        raise ValueError(f"unknown assembly mode {assembly!r}")
+    process_local = (assembly == "process_local" or
+                     (assembly == "auto" and jax.process_count() > 1))
 
     def put(batch):
         out = []
         for i, x in enumerate(batch):
             on_device = (device_fields is None or i in device_fields)
             if on_device and isinstance(x, np.ndarray) and x.dtype != object:
-                out.append(jax.device_put(x, sharding) if sharding is not None
-                           else jax.device_put(x))
+                if sharding is None:
+                    out.append(jax.device_put(x))
+                elif process_local:
+                    out.append(assemble_global_batch(sharding, x))
+                else:
+                    out.append(jax.device_put(x, sharding))
             else:
                 out.append(x)
         return tuple(out)

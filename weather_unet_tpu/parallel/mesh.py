@@ -37,7 +37,8 @@ class MeshPlan:
     def replicated(self) -> NamedSharding:
         return NamedSharding(self.mesh, P())
 
-    def spatial(self) -> NamedSharding:
+    def spatial(self, input_size: Optional[int] = None,
+                deepest_stride: int = 16) -> NamedSharding:
         """Batch over 'data' AND image height over 'model' — spatial
         partitioning for NHWC images.  The XLA SPMD partitioner inserts the
         conv halo exchanges and turns AdaIN's per-image spatial reductions
@@ -46,9 +47,18 @@ class MeshPlan:
         tests/test_spatial_partition.py).
 
         Constraint: the model-axis size must not exceed the height of the
-        DEEPEST feature map (cUNet: H/8; SNDisc: H/16) — below one row per
-        shard the partitioner silently degrades.  At the reference's
-        224-256^2 resolutions this allows up to 14-way spatial sharding."""
+        DEEPEST feature map (cUNet: H/8; SNDisc: H/16 — hence the default
+        ``deepest_stride=16``) — below one row per shard the partitioner
+        silently degrades.  At the reference's 224-256^2 resolutions this
+        allows up to 14-way spatial sharding.  Pass ``input_size`` to have
+        the constraint enforced here instead of relying on the docstring."""
+        n_model = self.mesh.shape["model"]
+        if input_size is not None and n_model > max(input_size // deepest_stride, 1):
+            raise ValueError(
+                f"spatial partitioning degree {n_model} exceeds the deepest "
+                f"feature-map height {input_size // deepest_stride} "
+                f"(input_size={input_size}, deepest_stride={deepest_stride}); "
+                f"use a smaller 'model' axis or a larger input")
         return NamedSharding(self.mesh, P("data", "model", None, None))
 
 
