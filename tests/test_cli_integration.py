@@ -180,8 +180,12 @@ def test_eval_estimator_transfer(world, tmp_path):
 def test_fid_score_cli(world, tmp_path):
     from weather_unet_tpu.cli import fid_score
 
+    # without real weights the CLI must REFUSE unless explicitly overridden
+    with pytest.raises(RuntimeError, match="No FID inception weights"):
+        fid_score.main([world["img_dir"], world["img_dir"], "--batch-size", "8"])
+
     fid = fid_score.main([world["img_dir"], world["img_dir"],
-                          "--batch-size", "8"])
+                          "--batch-size", "8", "--allow-random-weights"])
     assert fid < 1e-3  # same directory -> zero distance
 
 

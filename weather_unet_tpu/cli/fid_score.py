@@ -17,6 +17,10 @@ def build_parser():
     p.add_argument("--gpu", type=str, default="", help="parity flag; ignored")
     p.add_argument("--weights", type=str, default=None,
                    help="local pt_inception .pth (TF-ported FID weights)")
+    p.add_argument("--allow-random-weights", action="store_true",
+                   help="proceed WITHOUT real inception weights (random "
+                        "init; FID values are meaningless vs published "
+                        "numbers)")
     p.add_argument("--save-stats", type=str, default=None,
                    help="write stats of path[0] to this .npz and exit")
     return p
@@ -29,7 +33,12 @@ def main(argv=None):
     from weather_unet_tpu.evaluation.fid import (
         frechet_distance, make_feature_fn, statistics_of_path)
 
-    feature_fn = make_feature_fn(args.weights)
+    feature_fn = None
+    needs_model = args.save_stats or any(
+        not p.endswith(".npz") for p in args.path[: 1 if args.save_stats else 2])
+    if needs_model:  # .npz-vs-.npz comparisons never touch inception
+        feature_fn = make_feature_fn(args.weights,
+                                     allow_random=args.allow_random_weights)
     if args.save_stats:
         mu, sigma = statistics_of_path(args.path[0], feature_fn, args.batch_size)
         np.savez(args.save_stats, mu=mu, sigma=sigma)
