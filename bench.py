@@ -10,6 +10,12 @@ PyTorch-1.1/V100 fp32 reference: the cUNet forward is ~84.5 GFLOPs/image at
 256^2; at a realistic 30-40% conv utilization of a V100's 15.7 TFLOP/s fp32
 that is ~60 images/sec.  BASELINE.json's target is >=5x that (>=300 img/s).
 
+The estimate is anchored by a measurement: the same forward through the
+pixel-parity torch mirror on this host's CPU (eager fp32, 1 thread) runs at
+0.95 img/s = ~80 GFLOP/s effective; scaling by the V100/core peak ratio and
+30-40% cuDNN utilization lands on 47-63 img/s — see BASELINE.md 'Measured
+reference anchor'.
+
 Serving config: bfloat16 compute (MXU native).  The f32 parity path is
 covered by tests; measured bf16-vs-f32 output drift on v5e is 9.4e-4 MAE on
 the [-1, 1] scale (0.12/255 pixel, p99 0.44/255) — within the <=1e-3 pixel
