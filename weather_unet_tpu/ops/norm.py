@@ -14,15 +14,21 @@ import jax.numpy as jnp
 
 
 def _mean_var_unbiased(x, axis):
-    """Mean and unbiased (ddof=1) variance along ``axis`` — torch ``.var()``."""
+    """Mean and unbiased (ddof=1) variance along ``axis`` — torch ``.var()``.
+
+    Statistics are computed in float32 with the two-pass formula
+    ``mean((x - mean)^2)`` (non-negative by construction, and what torch
+    itself does): the one-pass ``E[x^2] - mu^2`` form cancels
+    catastrophically in bfloat16 — variance goes slightly negative,
+    ``sqrt(var + eps)`` goes NaN, and bf16 GAN training diverges on step 1
+    (found by the bf16 drift guard, tests/test_bf16_training.py)."""
     n = 1
     for a in (axis if isinstance(axis, tuple) else (axis,)):
         n *= x.shape[a]
-    mean = jnp.mean(x, axis=axis)
-    sq = jnp.mean(jnp.square(x), axis=axis)
-    var_biased = sq - jnp.square(mean)
-    var = var_biased * (n / max(n - 1, 1))
-    return mean, var
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axis, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axis) * (n / max(n - 1, 1))
+    return jnp.squeeze(mean, axis=axis), var
 
 
 def adain(x, y_proj, eps: float = 1e-5):
@@ -43,13 +49,17 @@ def adain(x, y_proj, eps: float = 1e-5):
     x_std = x_std[:, None, None, :]
     y_mean = y_mean[:, None, None, :]
     y_std = y_std[:, None, None, :]
-    return (x - x_mean) / x_std * y_std + y_mean
+    # modulate in f32 (stats already are), cast back to the compute dtype
+    out = (x.astype(jnp.float32) - x_mean) / x_std * y_std + y_mean
+    return out.astype(x.dtype)
 
 
 def instance_whiten(x, eps: float = 1e-5):
     """Per-sample, per-channel whitening (no affine), unbiased variance."""
     mean, var = _mean_var_unbiased(x, axis=(1, 2))
-    return (x - mean[:, None, None, :]) / jnp.sqrt(var + eps)[:, None, None, :]
+    out = (x.astype(jnp.float32) - mean[:, None, None, :]) / jnp.sqrt(
+        var + eps)[:, None, None, :]
+    return out.astype(x.dtype)
 
 
 def batch_whiten(x, eps: float = 1e-5):
@@ -60,7 +70,8 @@ def batch_whiten(x, eps: float = 1e-5):
     mean, var = _mean_var_unbiased(flat, axis=1)
     std = jnp.sqrt(var + eps)
     shape = (b,) + (1,) * (x.ndim - 1)
-    return (x - mean.reshape(shape)) / std.reshape(shape)
+    out = (x.astype(jnp.float32) - mean.reshape(shape)) / std.reshape(shape)
+    return out.astype(x.dtype)
 
 
 def conditional_norm(x, batch_mean, batch_var, gamma, beta, eps: float = 1e-5):
