@@ -39,14 +39,13 @@ def main():
         gb = (B * hw * hw * c * 5) * 2 / 1e9  # read in + write 4x out
         res = {"shape": f"{hw}x{hw}x{c}"}
         for name, fn in (
-                ("xla", lambda x: upsample_bilinear_align_corners(x)),
-                ("pallas_einsum", lambda x: upsample2x_fused(x, "einsum")),
-                ("pallas_loop", lambda x: upsample2x_fused(x, "loop"))):
+                ("xla_matmul", lambda x: upsample_bilinear_align_corners(x)),
+                ("pallas_shift", lambda x: upsample2x_fused(x, "shift"))):
             try:
-                # numerics vs xla first
-                ref = upsample_bilinear_align_corners(x).astype(jnp.float32)
-                got = fn(x).astype(jnp.float32)
-                err = float(jnp.abs(ref - got).max())
+                # fused on-device error check (never materializes f32 copies)
+                err = float(jax.jit(lambda x: jnp.max(jnp.abs(
+                    upsample_bilinear_align_corners(x).astype(jnp.float32)
+                    - fn(x).astype(jnp.float32))))(x))
                 dt = time_fn(fn, x)
                 res[name] = {"ms": round(dt * 1e3, 3),
                              "gbps": round(gb / dt, 0), "max_err": err}

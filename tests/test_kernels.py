@@ -58,3 +58,39 @@ def test_cunet_pallas_flag_matches(rng):
     out1 = m1.apply(v, x, c)
     assert ap_called
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out1), atol=1e-5)
+
+
+def test_upsample_pallas_variants_match_xla(rng):
+    """All Pallas upsample formulations (kept for the adopt/reject study,
+    docs/UPSAMPLE_STUDY.md) are exact vs the XLA matmul path in interpret
+    mode, including odd sizes and the tiny-H fallback bound."""
+    import jax.numpy as jnp
+    from weather_unet_tpu.kernels.upsample_pallas import upsample2x_fused
+    from weather_unet_tpu.ops.resize import upsample_bilinear_align_corners
+
+    for (h, c) in ((32, 16), (17, 8), (4, 8)):
+        x = jnp.asarray(rng.standard_normal((2, h, h, c)).astype(np.float32))
+        ref = upsample_bilinear_align_corners(x)
+        for variant in ("einsum", "loop", "blend", "blendmm", "shift"):
+            got = upsample2x_fused(x, variant, True)
+            assert float(jnp.abs(ref - got).max()) < 2e-6, (h, c, variant)
+
+
+def test_upsample_shift_xla_and_grad(rng):
+    """upsample_x2_shift (XLA shifted-slice form) and the fused kernel's
+    custom VJP both match the matmul path."""
+    import jax
+    import jax.numpy as jnp
+    from weather_unet_tpu.kernels.upsample_pallas import upsample2x_fused
+    from weather_unet_tpu.ops.resize import (
+        upsample_bilinear_align_corners, upsample_x2_shift)
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)).astype(np.float32))
+    ref = upsample_bilinear_align_corners(x)
+    assert float(jnp.abs(upsample_x2_shift(x) - ref).max()) < 2e-6
+
+    g1 = jax.grad(lambda x: jnp.sum(jnp.sin(
+        upsample2x_fused(x, "shift", True))))(x)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.sin(
+        upsample_bilinear_align_corners(x))))(x)
+    assert float(jnp.abs(g1 - g2).max()) < 2e-5

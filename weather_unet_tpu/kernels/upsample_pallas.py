@@ -67,6 +67,93 @@ def _kernel_loop(mh_ref, mw_ref, x_ref, o_ref, t_ref):
     jax.lax.fori_loop(0, h2b, w_step, 0)
 
 
+def _kernel_blend(i0_ref, i1_ref, f_ref, j0_ref, j1_ref, g_ref, x_ref, o_ref):
+    """Traffic-optimal 2-tap form, all VPU: per output row, blend the two
+    source rows (dynamic leading-dim reads, row taps in SMEM), then blend
+    columns via a sublane gather with the tap-index vectors.  The
+    dense-matmul form wastes 64x FLOPs (2 of >=64 weights per row are
+    nonzero) — measured compute-bound at ~36 TFLOP/s in XLA."""
+    h2b = o_ref.shape[1]
+    base = pl.program_id(1) * h2b
+    j0 = j0_ref[0]                                  # (W2,)
+    j1 = j1_ref[0]
+    g = g_ref[0].astype(jnp.float32)[:, None]       # (W2, 1)
+
+    def row(o, _):
+        oo = base + o
+        fr = f_ref[oo]
+        r0 = x_ref[0, i0_ref[oo]].astype(jnp.float32)   # (W, C)
+        r1 = x_ref[0, i1_ref[oo]].astype(jnp.float32)
+        r = r0 * (1.0 - fr) + r1 * fr                   # (W, C)
+        c0 = jnp.take(r, j0, axis=0)                    # (W2, C)
+        c1 = jnp.take(r, j1, axis=0)
+        o_ref[0, o] = (c0 * (1.0 - g) + c1 * g).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h2b, row, 0)
+
+
+def _kernel_blendmm(i0_ref, i1_ref, f_ref, mw_ref, x_ref, o_ref):
+    """Row blend on the VPU + W-axis as a per-row 2D MXU matmul (fallback if
+    sublane gathers lower poorly)."""
+    h2b = o_ref.shape[1]
+    base = pl.program_id(1) * h2b
+    mw = mw_ref[:]
+
+    def row(o, _):
+        oo = base + o
+        fr = f_ref[oo]
+        r0 = x_ref[0, i0_ref[oo]].astype(jnp.float32)
+        r1 = x_ref[0, i1_ref[oo]].astype(jnp.float32)
+        r = (r0 * (1.0 - fr) + r1 * fr).astype(mw.dtype)
+        o_ref[0, o] = jnp.dot(mw, r,
+                              preferred_element_type=jnp.float32
+                              ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, h2b, row, 0)
+
+
+def _kernel_shift(ah_ref, bh_ref, aw_ref, bw_ref, x_ref, o_ref):
+    """Fully vectorized 2-tap form: even/odd output rows are shifted-slice
+    blends of a haloed input window (leading-dim interleave is free); the W
+    axis uses static sublane shifts and one sublane interleave.  No loops,
+    gathers or matmuls — bandwidth-bound by construction.
+
+    Boundary exactness: the clamped halo rows/columns only ever multiply
+    weights that are exactly 0 (a[0] = b[n-1] = 0 in _x2_shift_weights), so
+    clamping is not an approximation."""
+    h2b = o_ref.shape[1]
+    hb2 = h2b // 2
+    h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
+    j = pl.program_id(1)
+    nblk = pl.num_programs(1)
+    m0 = j * hb2
+    cur = x_ref[0, pl.ds(m0, hb2)].astype(jnp.float32)       # (hb2, W, C)
+    # halo reads (clamped starts are only USED on interior blocks where the
+    # clamp is inactive; edge blocks take the in-block shifted forms below)
+    prv_in = x_ref[0, pl.ds(jnp.maximum(m0 - 1, 0), hb2)].astype(jnp.float32)
+    nxt_in = x_ref[0, pl.ds(jnp.minimum(m0 + 1, h - hb2), hb2)].astype(jnp.float32)
+    prv = jnp.where(j == 0,
+                    jnp.concatenate([cur[:1], cur[:-1]], axis=0), prv_in)
+    nxt = jnp.where(j == nblk - 1,
+                    jnp.concatenate([cur[1:], cur[-1:]], axis=0), nxt_in)
+    a = ah_ref[:][:, :, None]                                # (hb2, 1, 1)
+    b = bh_ref[:][:, :, None]
+    even = prv * a + cur * (1.0 - a)
+    odd = cur * (1.0 - b) + nxt * b
+    t = jnp.stack([even, odd], axis=1).reshape(h2b, w, c)    # free interleave
+
+    prw = jnp.concatenate([t[:, :1], t[:, :-1]], axis=1)
+    nxw = jnp.concatenate([t[:, 1:], t[:, -1:]], axis=1)
+    aw = aw_ref[0][None, :, None]                            # (1, W, 1)
+    bw = bw_ref[0][None, :, None]
+    evw = prw * aw + t * (1.0 - aw)
+    odw = t * (1.0 - bw) + nxw * bw
+    o = jnp.stack([evw, odw], axis=2).reshape(h2b, 2 * w, c)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
 def _row_block(h_out: int, w: int, w_out: int, c: int, x_bytes: int) -> int:
     """Largest output-row block (divisor of h_out) within ~10 MB of VMEM."""
     budget = 10 * 2 ** 20 - x_bytes
@@ -99,10 +186,57 @@ def _upsample2x_impl(x, mh, mw, *, variant: str, interpret: bool):
     if variant == "einsum":
         return pl.pallas_call(_kernel_einsum, in_specs=in_specs, **kwargs)(
             mh, mw, x)
-    return pl.pallas_call(
-        _kernel_loop, in_specs=in_specs,
-        scratch_shapes=[pltpu.VMEM((h2b, w, c), jnp.float32)], **kwargs)(
-        mh, mw, x)
+    if variant == "loop":
+        return pl.pallas_call(
+            _kernel_loop, in_specs=in_specs,
+            scratch_shapes=[pltpu.VMEM((h2b, w, c), jnp.float32)], **kwargs)(
+            mh, mw, x)
+
+    from weather_unet_tpu.ops.resize import _x2_taps
+
+    i0, i1, f = (jnp.asarray(a) for a in _x2_taps(h))
+    x_spec = pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0))
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 3
+    if variant == "blend":
+        j0, j1, g = _x2_taps(w)
+        vec = lambda a: jnp.asarray(a)[None, :]
+        vspec = pl.BlockSpec((1, w2), lambda i, j: (0, 0))
+        return pl.pallas_call(
+            _kernel_blend, in_specs=smem + [vspec] * 3 + [x_spec], **kwargs)(
+            i0, i1, f, vec(j0), vec(j1), vec(g), x)
+    if variant == "blendmm":
+        return pl.pallas_call(
+            _kernel_blendmm,
+            in_specs=smem + [pl.BlockSpec((w2, w), lambda i, j: (0, 0)),
+                             x_spec], **kwargs)(i0, i1, f, mw, x)
+    if variant == "shift":
+        from weather_unet_tpu.ops.resize import _x2_shift_weights
+
+        # halo window needs h2b//2 + 2 <= H; shrink to the largest even
+        # divisor of h2 that fits
+        while h2b > 2 and (h2b % 2 or h2b // 2 + 2 > h or h2 % h2b):
+            h2b -= 2
+        if h2b < 2 or h2b // 2 + 2 > h:
+            raise ValueError(
+                f"shift variant needs H >= 4 (H={h}); use the XLA matmul "
+                f"path for tiny inputs")
+        kwargs["grid"] = (n, h2 // h2b)
+        kwargs["out_specs"] = pl.BlockSpec((1, h2b, w2, c),
+                                           lambda i, j: (i, j, 0, 0))
+        hb2 = h2b // 2
+        ah_np, bh_np = _x2_shift_weights(h)
+        aw_np, bw_np = _x2_shift_weights(w)
+        col = lambda v: jnp.asarray(v)[:, None]
+        rowv = lambda v: jnp.asarray(v)[None, :]
+        return pl.pallas_call(
+            _kernel_shift,
+            in_specs=[pl.BlockSpec((hb2, 1), lambda i, j: (j, 0)),
+                      pl.BlockSpec((hb2, 1), lambda i, j: (j, 0)),
+                      pl.BlockSpec((1, w), lambda i, j: (0, 0)),
+                      pl.BlockSpec((1, w), lambda i, j: (0, 0)),
+                      x_spec], **kwargs)(
+            col(ah_np), col(bh_np), rowv(aw_np), rowv(bw_np), x)
+    raise ValueError(f"unknown variant {variant!r}")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))

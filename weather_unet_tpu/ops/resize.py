@@ -15,6 +15,7 @@ from __future__ import annotations
 import functools
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -94,6 +95,54 @@ def upsample_x2_gather(x):
     return y
 
 
+@functools.lru_cache(maxsize=64)
+def _x2_shift_weights(n_in: int):
+    """Even/odd decomposition of exact 2x align_corners taps.
+
+    src(p) = p*(n-1)/(2n-1).  Even outputs p=2m blend x[m-1] (weight
+    a=m/(2n-1)) with x[m]; odd outputs p=2m+1 blend x[m] with x[m+1]
+    (weight b=(n-1-m)/(2n-1)).  Boundary weights are exactly 0, so clamped
+    shifts are exact."""
+    m = np.arange(n_in, dtype=np.float64)
+    a = m / (2 * n_in - 1)
+    b = (n_in - 1 - m) / (2 * n_in - 1)
+    return a.astype(np.float32), b.astype(np.float32)
+
+
+def upsample_x2_shift(x):
+    """Exact 2x align_corners upsample as shifted-slice blends + free
+    row-major interleave reshapes — no gathers, no dense matmuls.
+
+    Per axis: out_even = shift_prev(x)*a + x*(1-a); out_odd = x*(1-b) +
+    shift_next(x)*b; stack on a new trailing-adjacent axis and reshape
+    (row-major merge, layout-free).  2-tap traffic at elementwise speed."""
+    n, h, w, c = x.shape
+    dt = x.dtype
+
+    def axis_pass(t, axis, size):
+        a_np, b_np = _x2_shift_weights(size)
+        shape = [1, 1, 1, 1]
+        shape[axis] = size
+        a = jnp.asarray(a_np, jnp.float32).reshape(shape)
+        b = jnp.asarray(b_np, jnp.float32).reshape(shape)
+        tf = t.astype(jnp.float32)
+        prev = jnp.concatenate([
+            jax.lax.slice_in_dim(tf, 0, 1, axis=axis),
+            jax.lax.slice_in_dim(tf, 0, size - 1, axis=axis)], axis=axis)
+        nxt = jnp.concatenate([
+            jax.lax.slice_in_dim(tf, 1, size, axis=axis),
+            jax.lax.slice_in_dim(tf, size - 1, size, axis=axis)], axis=axis)
+        even = prev * a + tf * (1.0 - a)
+        odd = tf * (1.0 - b) + nxt * b
+        inter = jnp.stack([even, odd], axis=axis + 1)   # (..., size, 2, ...)
+        out_shape = list(t.shape)
+        out_shape[axis] = 2 * size
+        return inter.reshape(out_shape).astype(dt)
+
+    y = axis_pass(x, 1, h)
+    return axis_pass(y, 2, w)
+
+
 def upsample_bilinear_align_corners(x, scale: int = 2, *, impl: str = "matmul"):
     """scale_factor upsample, align_corners=True (reference ``cunet.py:26``).
 
@@ -106,4 +155,6 @@ def upsample_bilinear_align_corners(x, scale: int = 2, *, impl: str = "matmul"):
     n, h, w, c = x.shape
     if scale == 2 and impl == "gather":
         return upsample_x2_gather(x)
+    if scale == 2 and impl == "shift":
+        return upsample_x2_shift(x)
     return resize_bilinear_torch(x, h * scale, w * scale)
