@@ -15,14 +15,19 @@ import numpy as np
 
 
 class SyntheticLoader:
-    """In-memory uint8 batches (decode cost excluded on purpose: this
-    measures the loop/dispatch overhead around the jitted step)."""
+    """Pre-staged DEVICE batches: isolates loop/dispatch overhead from the
+    tunnel's H2D bandwidth (bench_train.py's step-only number also has its
+    data pre-staged, so this is the like-for-like comparison; device_prefetch
+    passes jax arrays through untouched)."""
 
     def __init__(self, batch, size, n_batches, seed=0):
+        import jax
+
         rng = np.random.default_rng(seed)
         self.batches = [
-            (rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8),
-             rng.standard_normal((batch, 5)).astype(np.float32))
+            tuple(jax.device_put(a) for a in
+                  (rng.integers(0, 255, (batch, size, size, 3), dtype=np.uint8),
+                   rng.standard_normal((batch, 5)).astype(np.float32)))
             for _ in range(4)]
         self.n = n_batches
 

@@ -220,3 +220,44 @@ def test_process_local_assembly_matches_device_put():
         assert p0.sharding == g0.sharding
         np.testing.assert_array_equal(np.asarray(p0), np.asarray(g0))
         np.testing.assert_array_equal(np.asarray(p1), np.asarray(g1))
+
+
+def test_host_augment_semantics():
+    """HostAugment: reference transform stack on host (rotation bounds,
+    deterministic seeding, flip rate, crop/jitter paths)."""
+    from weather_unet_tpu.data.transforms import HostAugment
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+
+    # deterministic: two fresh instances with the same seed agree
+    a1 = HostAugment(32, seed=7)
+    a2 = HostAugment(32, seed=7)
+    o1, o2 = a1(img), a2(img)
+    assert o1.shape == (32, 32, 3) and o1.dtype == np.uint8
+    np.testing.assert_array_equal(o1, o2)
+
+    # flip-only config: output is either identity or exact mirror
+    flip_only = HostAugment(40, degrees=0.0, seed=1)
+    white = np.full((40, 40, 3), 255, np.uint8)
+    white[:, :20] = 0  # left half black
+    hits = {"id": 0, "flip": 0}
+    for _ in range(50):
+        out = flip_only(white)
+        if np.array_equal(out, white):
+            hits["id"] += 1
+        elif np.array_equal(out, white[:, ::-1]):
+            hits["flip"] += 1
+    assert hits["id"] + hits["flip"] == 50
+    assert 10 <= hits["flip"] <= 40  # p=0.5, 50 draws
+
+    # rotation keeps the bulk of an all-white image white (<=10 degrees)
+    rot = HostAugment(40, hflip=False, seed=2)
+    out = rot(np.full((40, 40, 3), 255, np.uint8))
+    assert (out > 200).mean() > 0.9
+
+    # crop + jitter path runs and changes the image
+    full = HostAugment(32, resized_crop=True, brightness=0.5, contrast=0.3,
+                       saturation=0.3, seed=3)
+    out = full(img)
+    assert out.shape == (32, 32, 3)

@@ -44,7 +44,7 @@ def main(argv=None):
     from weather_unet_tpu.data.datasets import ClassImageDataset
     from weather_unet_tpu.data.pipeline import BatchLoader
     from weather_unet_tpu.data.sampler import ImbalancedSampler
-    from weather_unet_tpu.data.transforms import AugmentConfig
+    from weather_unet_tpu.data.transforms import HostAugment
     from weather_unet_tpu.cli.common import ResNet101
     from weather_unet_tpu.train.loops import train_supervised
     from weather_unet_tpu.train.metrics import SummaryWriter, run_comment
@@ -55,7 +55,11 @@ def main(argv=None):
 
     sep = pd.read_pickle(args.pkl_path)
     base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
-    train_set = ClassImageDataset(sep["train"], out_size=base)
+    aug = HostAugment(args.input_size, resized_crop=args.augmentation,
+                      brightness=0.5 if args.augmentation else 0.0,
+                      contrast=0.3 if args.augmentation else 0.0,
+                      saturation=0.3 if args.augmentation else 0.0)
+    train_set = ClassImageDataset(sep["train"], out_size=base, transform=aug)
     test_set = ClassImageDataset(sep["test"], out_size=args.input_size)
 
     model = ResNet101(num_classes=5)
@@ -77,16 +81,13 @@ def main(argv=None):
 
     writer = SummaryWriter(log_dir=args.log_dir, comment=run_comment(
         args.lr, args.batch_size, args.num_epoch, args.name))
-    aug = AugmentConfig(out_size=args.input_size, resized_crop=args.augmentation,
-                        brightness=0.5 if args.augmentation else 0.0,
-                        contrast=0.3 if args.augmentation else 0.0,
-                        saturation=0.3 if args.augmentation else 0.0)
+
     train_supervised(
         model, make_classifier_step(model, mask),
         make_eval_metrics(model, "classifier"),
         train_loader, test_loader, state=state, batch_size=args.batch_size,
         num_epoch=args.num_epoch,
-        writer=writer, augment_cfg=aug, save_dir=args.save_path, name=args.name,
+        writer=writer, input_size=args.input_size, save_dir=args.save_path, name=args.name,
         eval_per_iter=500, target_dtype=jnp.int32)
     print("Done: training")
 

@@ -64,17 +64,26 @@ def main(argv=None):
 
     import pandas as pd
 
+    from weather_unet_tpu.data.transforms import HostAugment
+
+    # host-side train augmentation in the loader threads (reference CPU-worker
+    # design, t_cls_train.py:81-102); device path only normalizes
+    aug = HostAugment(args.input_size, resized_crop=args.augmentation,
+                      brightness=0.5 if args.augmentation else 0.0,
+                      contrast=0.3 if args.augmentation else 0.0,
+                      saturation=0.3 if args.augmentation else 0.0)
     base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
     if args.dataset == "i2w":
         sep = pd.read_pickle(args.pkl_path)  # {'train': paths, 'test': paths}
-        mk = lambda split: ClassImageDataset(sep[split], out_size=base)
+        mk = lambda split: ClassImageDataset(sep[split], out_size=base,
+                                             transform=aug)
         train_set = mk("train")
         test_set = ClassImageDataset(sep["test"], out_size=args.input_size)
     else:
         df = pd.read_pickle(args.pkl_path).sample(frac=1)
         mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
                                           out_size=base, class_id=False,
-                                          imbalance=imb)
+                                          imbalance=imb, transform=aug)
         train_set = mk(df[df["mode"] == "train"], args.sampler)
         test_set = FlickrDataset(args.image_root, df[df["mode"] == "test"],
                                  SIGNAL_COLUMNS, out_size=args.input_size,

@@ -60,6 +60,14 @@ def main(argv=None):
 
     est_apply = load_estimator(args.estimator_path)
 
+    from weather_unet_tpu.data.transforms import HostAugment
+
+    # host-side train augmentation in the loader threads (reference CPU-worker
+    # design, t_est_train.py:76-103); device path only normalizes
+    aug = HostAugment(args.input_size, resized_crop=args.augmentation,
+                      brightness=0.5 if args.augmentation else 0.0,
+                      contrast=0.3 if args.augmentation else 0.0,
+                      saturation=0.3 if args.augmentation else 0.0)
     base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
     if args.image_only:
         # raw directory, 70/30 split (t_est_train.py:116-121); conditions come
@@ -69,7 +77,7 @@ def main(argv=None):
 
         paths = list_images(args.image_root)
         pivot = int(len(paths) * 0.7)
-        train_set = ImagePathDataset(paths[:pivot], out_size=base)
+        train_set = ImagePathDataset(paths[:pivot], out_size=base, transform=aug)
         test_df = None
     else:
         df, _, _ = load_flickr_frame(args.pkl_path, stats_pkl=args.stats_pkl)
@@ -77,7 +85,8 @@ def main(argv=None):
         train_df = df[df["mode"] == "train"]
         test_df = df[df["mode"] == "test"]
         mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
-                                          out_size=base, imbalance=imb)
+                                          out_size=base, imbalance=imb,
+                                          transform=aug)
         train_set = mk(train_df, False)
 
     def train_loader():

@@ -85,8 +85,9 @@ class FlickrDataset:
 
     def __init__(self, image_root: str, df, columns: Sequence[str],
                  out_size: Optional[int] = None, class_id: Optional[bool] = None,
-                 imbalance: bool = False):
+                 imbalance: bool = False, transform=None):
         self.root = image_root
+        self.transform = transform
         self.columns = list(columns)
         self.photo_ids = df["photo"].to_list()
         self.conditions = df.loc[:, self.columns].fillna(0).to_numpy(np.float32)
@@ -116,6 +117,8 @@ class FlickrDataset:
                 continue
         else:
             raise IOError(f"more than {_MAX_BAD_FILES} consecutive unreadable images at {idx}")
+        if self.transform is not None:
+            image = self.transform(image)
         cond = self.get_condition(i)
         if self.class_id is None:
             return image, cond, self.photo_ids[i]
@@ -128,10 +131,11 @@ class ImagePathDataset:
     """Plain path-list dataset (reference ``ImageLoader``, ``dataset.py:81-102``)."""
 
     def __init__(self, paths: Sequence[str], out_size: Optional[int] = None,
-                 with_path: bool = False):
+                 with_path: bool = False, transform=None):
         self.paths = list(paths)
         self.out_size = out_size
         self.with_path = with_path
+        self.transform = transform
 
     def __len__(self):
         return len(self.paths)
@@ -146,6 +150,8 @@ class ImagePathDataset:
                 continue
         else:
             raise IOError(f"more than {_MAX_BAD_FILES} consecutive unreadable images at {idx}")
+        if self.transform is not None:
+            image = self.transform(image)
         if self.with_path:
             return image, self.paths[i]
         return image, True
@@ -156,7 +162,8 @@ class ClassImageDataset:
     ``z-other`` (reference ``ClassImageLoader``, ``dataset.py:105-136``)."""
 
     def __init__(self, paths: Sequence[str], out_size: Optional[int] = None,
-                 inf: bool = False):
+                 inf: bool = False, transform=None):
+        self.transform = transform
         self.paths = [p for p in paths if "z-other" not in p]
         self.classes = WEATHER_CLASSES_I2W
         self.num_classes = len(self.classes)
@@ -171,6 +178,8 @@ class ClassImageDataset:
 
     def __getitem__(self, idx: int):
         image = _decode(self.paths[idx], self.out_size)
+        if self.transform is not None:
+            image = self.transform(image)
         target = self.get_class(idx)
         if self.inf:
             return image, target, self.paths[idx]

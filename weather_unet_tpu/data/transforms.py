@@ -152,6 +152,107 @@ def _color_jitter(key, img, cfg: AugmentConfig):
     return jnp.clip(img, 0.0, 1.0)
 
 
+class HostAugment:
+    """Reference-faithful CPU augmentation for the loader threads
+    (``t_cls_train.py:81-102``: RandomRotation(10) -> RandomResizedCrop |
+    Resize -> RandomHorizontalFlip -> optional ColorJitter).
+
+    Runs inside ``BatchLoader`` worker threads and overlaps with device
+    compute via ``device_prefetch`` — the reference's CPU-worker design.
+    This is the default train path: the on-device ``augment_batch`` warp is
+    a 4-tap gather, measured at 253 ms for a 224^2 B=128 batch on v5e
+    (gathers are slow on TPU), i.e. more than the train step itself; PIL
+    rotation on host threads hides behind the step instead.
+
+    Thread-safe deterministic RNG: a lock-guarded counter drives per-call
+    ``np.random.default_rng((seed, counter))`` streams.
+    """
+
+    def __init__(self, out_size: int, *, degrees: float = 10.0,
+                 hflip: bool = True, resized_crop: bool = False,
+                 crop_scale=(0.08, 1.0), crop_ratio=(3.0 / 4.0, 4.0 / 3.0),
+                 brightness: float = 0.0, contrast: float = 0.0,
+                 saturation: float = 0.0, seed: int = 0):
+        self.out_size = out_size
+        self.degrees = degrees
+        self.hflip = hflip
+        self.resized_crop = resized_crop
+        self.crop_scale = crop_scale
+        self.crop_ratio = crop_ratio
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.seed = seed
+        import threading
+
+        self._lock = threading.Lock()
+        self._counter = 0
+
+    def _rng(self):
+        import numpy as _np
+
+        with self._lock:
+            self._counter += 1
+            n = self._counter
+        return _np.random.default_rng((self.seed, n))
+
+    def _sample_crop(self, rng, w, h):
+        """torchvision RandomResizedCrop.get_params: 10 rejection attempts,
+        then center-crop fallback."""
+        area = w * h
+        for _ in range(10):
+            target = area * rng.uniform(*self.crop_scale)
+            ar = math.exp(rng.uniform(math.log(self.crop_ratio[0]),
+                                      math.log(self.crop_ratio[1])))
+            cw = int(round(math.sqrt(target * ar)))
+            ch = int(round(math.sqrt(target / ar)))
+            if 0 < cw <= w and 0 < ch <= h:
+                x0 = int(rng.integers(0, w - cw + 1))
+                y0 = int(rng.integers(0, h - ch + 1))
+                return x0, y0, cw, ch
+        in_ratio = w / h
+        if in_ratio < self.crop_ratio[0]:
+            cw, ch = w, int(round(w / self.crop_ratio[0]))
+        elif in_ratio > self.crop_ratio[1]:
+            cw, ch = int(round(h * self.crop_ratio[1])), h
+        else:
+            cw, ch = w, h
+        return (w - cw) // 2, (h - ch) // 2, cw, ch
+
+    def __call__(self, image_u8):
+        """uint8 HWC -> augmented uint8 HWC at ``out_size``."""
+        from PIL import Image, ImageEnhance
+        import numpy as _np
+
+        rng = self._rng()
+        im = Image.fromarray(image_u8)
+        if self.degrees:
+            angle = rng.uniform(-self.degrees, self.degrees)
+            im = im.rotate(angle, resample=Image.BILINEAR)
+        if self.resized_crop:
+            x0, y0, cw, ch = self._sample_crop(rng, im.width, im.height)
+            im = im.resize((self.out_size, self.out_size), Image.BILINEAR,
+                           box=(x0, y0, x0 + cw, y0 + ch))
+        elif im.size != (self.out_size, self.out_size):
+            im = im.resize((self.out_size, self.out_size), Image.BILINEAR)
+        if self.hflip and rng.random() < 0.5:
+            im = im.transpose(Image.FLIP_LEFT_RIGHT)
+        jitters = []
+        if self.brightness:
+            f = rng.uniform(max(0.0, 1 - self.brightness), 1 + self.brightness)
+            jitters.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
+        if self.contrast:
+            f = rng.uniform(max(0.0, 1 - self.contrast), 1 + self.contrast)
+            jitters.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
+        if self.saturation:
+            f = rng.uniform(max(0.0, 1 - self.saturation), 1 + self.saturation)
+            jitters.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
+        rng.shuffle(jitters)        # torchvision shuffles the jitter order
+        for j in jitters:
+            im = j(im)
+        return _np.asarray(im, dtype=_np.uint8)
+
+
 def augment_batch(key, images_u8, cfg: AugmentConfig):
     """uint8 NHWC batch -> augmented, normalized float NHWC in [-1, 1]."""
     n, h, w, _ = images_u8.shape

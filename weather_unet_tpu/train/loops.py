@@ -43,6 +43,7 @@ class WeatherTransferTrainer:
     def __init__(self, cfg: GanConfig, est_apply: Callable, *,
                  save_dir: str = "cp/transfer", name: str = "cUNet",
                  log_dir: str = "runs", augment: bool = False,
+                 device_augment: bool = False,
                  plan: Optional[MeshPlan] = None, seed: int = 0,
                  export_torch: bool = False, profile_dir: Optional[str] = None):
         self.cfg = cfg
@@ -65,14 +66,23 @@ class WeatherTransferTrainer:
         self._step_d = jax.jit(functools.partial(step, do_g=False), **shardings)
         self._eval = jax.jit(make_eval_step(self.gen, self.disc, est_apply, cfg))
 
-        aug_cfg = AugmentConfig(
-            out_size=cfg.input_size, resized_crop=augment,
-            brightness=0.5 if augment else 0.0,
-            contrast=0.3 if augment else 0.0,
-            saturation=0.3 if augment else 0.0)
-        self._augment = jax.jit(lambda k, u8: augment_batch(k, u8, aug_cfg))
+        # Default: augmentation happens on HOST in the loader threads
+        # (data.transforms.HostAugment, the reference's CPU-worker design) —
+        # the on-device warp is a 4-tap gather measured at 253 ms per 224^2
+        # B=128 batch on v5e, more than the train step itself.  The device
+        # path here then only normalizes.  device_augment=True keeps the
+        # fully-on-device variant.
         self._normalize = jax.jit(
             lambda u8: normalize_batch(u8, out_size=cfg.input_size))
+        if device_augment:
+            aug_cfg = AugmentConfig(
+                out_size=cfg.input_size, resized_crop=augment,
+                brightness=0.5 if augment else 0.0,
+                contrast=0.3 if augment else 0.0,
+                saturation=0.3 if augment else 0.0)
+            self._augment = jax.jit(lambda k, u8: augment_batch(k, u8, aug_cfg))
+        else:
+            self._augment = lambda k, u8: self._normalize(u8)
 
         self.state = jax.device_put(self.state, rsh)
         self._rng = jax.random.key(seed + 1)
@@ -114,6 +124,13 @@ class WeatherTransferTrainer:
         self._rng, k = jax.random.split(self._rng)
         return k
 
+    def _next_rngs(self, n):
+        """One split dispatch for all of a step's keys (each device dispatch
+        costs ~2.4 ms RTT over the axon tunnel)."""
+        ks = jax.random.split(self._rng, n + 1)
+        self._rng = ks[0]
+        return [ks[i] for i in range(1, n + 1)]
+
     def train_epoch(self, train_loader: Iterable, random_loader: Iterable,
                     test_batches=None, labeled: bool = False):
         """One epoch over zipped content/condition streams
@@ -133,16 +150,17 @@ class WeatherTransferTrainer:
         # summary cadence, matching the reference's actual TB-write cadence
         # (t_est_train.py:336-345) — a per-step float() would serialize the
         # async dispatch stream (VERDICT.md round-1 'weak' #1).
+        zeros = jnp.zeros(self.cfg.batch_size, jnp.int32)   # hoisted: one alloc
         for data, rand_data in zipped:
             if data[0].shape[0] != self.cfg.batch_size:
                 continue
-            images = self._augment(self._next_rng(), data[0])
-            rand_images = self._augment(self._next_rng(), rand_data[0])
+            k_a, k_b, k_step = self._next_rngs(3)
+            images = self._augment(k_a, data[0])
+            rand_images = self._augment(k_b, rand_data[0])
             if labeled:
                 c_d = data[1].astype(jnp.int32)
                 c_r = rand_data[1].astype(jnp.int32)
             else:
-                zeros = jnp.zeros(self.cfg.batch_size, jnp.int32)
                 c_d = c_r = zeros
 
             self._gstep += 1
@@ -152,7 +170,7 @@ class WeatherTransferTrainer:
             if self._window_t0 is None:
                 self._window_t0 = time.perf_counter()
             self.state, metrics = fn(
-                self.state, images, c_d, rand_images, c_r, self._next_rng())
+                self.state, images, c_d, rand_images, c_r, k_step)
             self._last_metrics = metrics
             self._window_steps += 1
 
@@ -220,19 +238,29 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                      batch_size: Optional[int] = None,
                      num_epoch: int, writer: Optional[SummaryWriter] = None,
                      augment_cfg: Optional[AugmentConfig] = None,
+                     input_size: int = 224,
                      save_dir: str = "cp", name: str = "model",
                      eval_per_iter: int = 100, save_per_epoch: int = 5,
                      target_dtype=jnp.float32, seed: int = 0):
     """Shared classifier/estimator loop (reference ``classifier.py:132-182``,
     ``estimator.py:170-227``): eval sweep every ``eval_per_iter`` iterations,
-    checkpoint every ``save_per_epoch`` epochs."""
+    checkpoint every ``save_per_epoch`` epochs.
+
+    ``augment_cfg=None`` (default) expects augmentation to happen on HOST in
+    the loader threads (``data.transforms.HostAugment``) and only normalizes
+    on device; pass a config for the fully-on-device warp (a 4-tap gather —
+    slow on TPU, see HostAugment docstring)."""
     plan = plan or make_mesh(batch_size=batch_size)
     bsh, rsh = plan.batch(), plan.replicated()
     jstep = jax.jit(step_fn, in_shardings=(rsh, bsh, bsh), out_shardings=(rsh, rsh))
     jeval = jax.jit(eval_fn, in_shardings=(rsh, rsh, bsh, bsh), out_shardings=rsh)
-    aug_cfg = augment_cfg or AugmentConfig()
-    aug = jax.jit(lambda k, u8: augment_batch(k, u8, aug_cfg))
-    norm = jax.jit(lambda u8: normalize_batch(u8, out_size=aug_cfg.out_size))
+    out_size = augment_cfg.out_size if augment_cfg else input_size
+    norm = jax.jit(lambda u8: normalize_batch(u8, out_size=out_size))
+    if augment_cfg is not None:
+        aug_cfg = augment_cfg
+        aug = jax.jit(lambda k, u8: augment_batch(k, u8, aug_cfg))
+    else:
+        aug = lambda k, u8: norm(u8)
     rng = jax.random.key(seed)
     state = jax.device_put(state, rsh)
 
