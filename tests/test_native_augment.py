@@ -1,0 +1,218 @@
+"""Native fused augmentation (runtime/augment.cc) vs the JAX device kernel.
+
+The C++ path is the host twin of ``data/transforms.py``'s one-affine-pass
+augment: ``wut_make_affine`` must reproduce ``affine_from_uniforms`` given the
+same uniforms, and ``wut_augment_u8`` must reproduce ``_affine_sample`` +
+fixed-order ``_color_jitter`` within u8 rounding.  Skipped when the native
+runtime isn't built (``make -C weather_unet_tpu/runtime``).
+"""
+
+import numpy as np
+import pytest
+
+from weather_unet_tpu import runtime
+from weather_unet_tpu.data.transforms import (
+    AugmentConfig, NativeAugment, affine_from_uniforms, _affine_sample,
+    make_train_augment,
+)
+
+pytestmark = pytest.mark.skipif(
+    not (runtime.native_available() or runtime.build()),
+    reason="native runtime not built")
+
+
+def _cfg(out=48, crop=True):
+    return AugmentConfig(out_size=out, degrees=10.0, hflip=True,
+                         resized_crop=crop, brightness=0.5, contrast=0.3,
+                         saturation=0.3)
+
+
+def _native_affine(h, w, u, cfg):
+    return runtime.make_affine(
+        h, w, u, degrees=cfg.degrees, resized_crop=cfg.resized_crop,
+        crop_scale=cfg.crop_scale, crop_ratio=cfg.crop_ratio, hflip=cfg.hflip,
+        out_size=cfg.out_size)
+
+
+def test_affine_matches_jax(rng):
+    import jax.numpy as jnp
+
+    for crop in (False, True):
+        cfg = _cfg(crop=crop)
+        for _ in range(8):
+            h, w = int(rng.integers(30, 200)), int(rng.integers(30, 200))
+            u = rng.random(6).astype(np.float32)
+            mat_j = np.asarray(affine_from_uniforms(jnp.asarray(u), h, w, cfg))
+            mat_c = _native_affine(h, w, u, cfg)
+            # translation entries are O(image size); compare relative to that
+            np.testing.assert_allclose(mat_c, mat_j, atol=2e-3)
+
+
+def test_augment_matches_device_kernel(rng):
+    """Same affine + jitter factors -> C++ u8 output equals the JAX float
+    kernel within one u8 quantization step."""
+    import jax.numpy as jnp
+
+    cfg = _cfg()
+    h, w = 90, 120
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    u = rng.random(6).astype(np.float32)
+    mat = _native_affine(h, w, u, cfg)
+    jit = np.array([0.7, 1.1, 0.9], np.float32)
+
+    out_c = runtime.augment_u8(img, mat, jit, cfg.out_size)
+    assert out_c.shape == (cfg.out_size, cfg.out_size, 3)
+
+    x = jnp.asarray(img, jnp.float32) / 255.0
+    y = _affine_sample(x, jnp.asarray(mat), cfg.out_size)
+    y = y * jit[0]  # brightness first; contrast mean is of the brightened image
+    gm = jnp.mean(0.299 * y[..., 0] + 0.587 * y[..., 1] + 0.114 * y[..., 2])
+    y = jit[1] * y + (1 - jit[1]) * gm
+    gray = (0.299 * y[..., 0] + 0.587 * y[..., 1] + 0.114 * y[..., 2])[..., None]
+    y = jnp.clip(jit[2] * y + (1 - jit[2]) * gray, 0.0, 1.0)
+
+    d = np.abs(out_c.astype(np.float32) / 255.0 - np.asarray(y))
+    assert d.max() <= 1.0 / 255.0 + 1e-3, d.max()
+
+
+def test_augment_identity_no_jitter(rng):
+    """degrees=0, no crop, no flip, out == in -> exact passthrough."""
+    cfg = AugmentConfig(out_size=40, degrees=0.0, hflip=False)
+    img = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    u = np.full(6, 0.25, np.float32)
+    mat = _native_affine(40, 40, u, cfg)
+    out = runtime.augment_u8(img, mat, np.full(3, -1.0, np.float32), 40)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_decode_augment_file_matches_two_step(tmp_path, rng):
+    """Fused decode->augment == decode_file -> augment_u8 with the same
+    parameters (same DCT-scaled source, same affine)."""
+    from PIL import Image
+
+    h, w = 80, 100
+    arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    p = tmp_path / "img.jpg"
+    Image.fromarray(arr).save(p, quality=95)
+
+    cfg = _cfg(out=48)
+    u = rng.random(6).astype(np.float32)
+    jit = np.array([0.8, -1.0, 1.2], np.float32)
+    fused = runtime.decode_augment_file(
+        str(p), u, jit, degrees=cfg.degrees, resized_crop=cfg.resized_crop,
+        crop_scale=cfg.crop_scale, crop_ratio=cfg.crop_ratio, hflip=cfg.hflip,
+        out_size=cfg.out_size)
+    assert fused is not None
+
+    # two-step on the same decoded pixels: decode at native size (no DCT
+    # scaling kicks in for an 80x100 source at out=48)
+    import PIL.Image as PILImage
+
+    with PILImage.open(p) as im:
+        src = np.asarray(im.convert("RGB"), np.uint8)
+    mat = _native_affine(src.shape[0], src.shape[1], u, cfg)
+    two = runtime.augment_u8(src, mat, jit, cfg.out_size)
+    # libjpeg vs PIL decode may differ by a few u8 steps on some pixels
+    d = np.abs(fused.astype(np.int32) - two.astype(np.int32))
+    assert d.mean() < 1.5 and d.max() <= 16, (d.mean(), d.max())
+
+
+def test_decode_augment_file_bad_file(tmp_path):
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"not a jpeg")
+    out = runtime.decode_augment_file(
+        str(bad), np.zeros(6, np.float32), np.full(3, -1.0, np.float32),
+        degrees=10.0, resized_crop=False, crop_scale=(0.08, 1.0),
+        crop_ratio=(0.75, 4 / 3), hflip=True, out_size=32)
+    assert out is None
+
+
+def test_native_augment_transform(tmp_path, rng):
+    """NativeAugment: deterministic per-seed, from_path == __call__ given the
+    same stream position, and datasets use the fused path."""
+    from PIL import Image
+
+    arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    p = tmp_path / "a.jpg"
+    Image.fromarray(arr).save(p, quality=95)
+
+    a1 = NativeAugment(32, seed=7, resized_crop=True, brightness=0.5,
+                       contrast=0.3, saturation=0.3)
+    a2 = NativeAugment(32, seed=7, resized_crop=True, brightness=0.5,
+                       contrast=0.3, saturation=0.3)
+    o1 = a1.from_path(str(p))
+    o2 = a2.from_path(str(p))
+    np.testing.assert_array_equal(o1, o2)
+    assert o1.shape == (32, 32, 3)
+
+    # bad file raises IOError so dataset retry loops engage
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"nope")
+    with pytest.raises(IOError):
+        a1.from_path(str(bad))
+
+    # __call__ fallback on decoded arrays works and is deterministic per seed
+    b1 = NativeAugment(32, seed=3)(arr)
+    b2 = NativeAugment(32, seed=3)(arr)
+    np.testing.assert_array_equal(b1, b2)
+
+
+def test_dataset_uses_from_path(tmp_path, rng):
+    """ImagePathDataset routes JPEGs through transform.from_path."""
+    from PIL import Image
+
+    from weather_unet_tpu.data.datasets import ImagePathDataset
+
+    paths = []
+    for i in range(3):
+        arr = rng.integers(0, 256, (40, 50, 3), dtype=np.uint8)
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(arr).save(p)
+        paths.append(str(p))
+
+    calls = []
+
+    class Spy(NativeAugment):
+        def from_path(self, path):
+            calls.append(path)
+            return super().from_path(path)
+
+    ds = ImagePathDataset(paths, out_size=64, transform=Spy(24, seed=0))
+    img, flag = ds[1]
+    assert img.shape == (24, 24, 3)
+    assert calls == [paths[1]]
+
+
+def test_make_train_augment_selects(monkeypatch):
+    from weather_unet_tpu.data.transforms import HostAugment
+
+    aug = make_train_augment(32)
+    assert isinstance(aug, NativeAugment)
+    monkeypatch.setenv("WUT_NATIVE_AUGMENT", "0")
+    aug = make_train_augment(32)
+    assert isinstance(aug, HostAugment)
+    aug = make_train_augment(32, prefer_native=False)
+    assert isinstance(aug, HostAugment)
+
+
+def test_native_vs_pil_distribution(tmp_path, rng):
+    """Sanity: native and PIL augment outputs of the same photo are close in
+    distribution (mean/std within a few u8 levels) — guards against gross
+    convention mismatches (e.g. x/y swap, degree sign) without requiring
+    resampler equality."""
+    from PIL import Image
+
+    from weather_unet_tpu.data.transforms import HostAugment
+
+    # smooth gradient image: misorientation would show up strongly
+    y, x = np.mgrid[0:96, 0:96]
+    arr = np.stack([x * 2, y * 2, (x + y)], -1).astype(np.uint8)
+    p = tmp_path / "g.jpg"
+    Image.fromarray(arr).save(p, quality=95)
+
+    nat = NativeAugment(48, seed=1)
+    pil = HostAugment(48, seed=1)
+    outs_n = np.stack([nat.from_path(str(p)) for _ in range(16)]).astype(np.float32)
+    outs_p = np.stack([pil(arr) for _ in range(16)]).astype(np.float32)
+    assert abs(outs_n.mean() - outs_p.mean()) < 6.0
+    assert abs(outs_n.std() - outs_p.std()) < 8.0

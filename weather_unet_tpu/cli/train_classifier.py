@@ -44,7 +44,7 @@ def main(argv=None):
     from weather_unet_tpu.data.datasets import ClassImageDataset
     from weather_unet_tpu.data.pipeline import BatchLoader
     from weather_unet_tpu.data.sampler import ImbalancedSampler
-    from weather_unet_tpu.data.transforms import HostAugment
+    from weather_unet_tpu.data.transforms import make_train_augment
     from weather_unet_tpu.cli.common import ResNet101
     from weather_unet_tpu.train.loops import train_supervised
     from weather_unet_tpu.train.metrics import SummaryWriter, run_comment
@@ -55,7 +55,7 @@ def main(argv=None):
 
     sep = pd.read_pickle(args.pkl_path)
     base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
-    aug = HostAugment(args.input_size, resized_crop=args.augmentation,
+    aug = make_train_augment(args.input_size, resized_crop=args.augmentation,
                       brightness=0.5 if args.augmentation else 0.0,
                       contrast=0.3 if args.augmentation else 0.0,
                       saturation=0.3 if args.augmentation else 0.0)

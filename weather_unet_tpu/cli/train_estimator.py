@@ -47,7 +47,7 @@ def main(argv=None):
     from weather_unet_tpu.data.datasets import FlickrDataset, SIGNAL_COLUMNS, zscore_columns
     from weather_unet_tpu.data.pipeline import BatchLoader
     from weather_unet_tpu.data.sampler import ImbalancedSampler
-    from weather_unet_tpu.data.transforms import HostAugment
+    from weather_unet_tpu.data.transforms import make_train_augment
     from weather_unet_tpu.cli.common import ResNet101
     from weather_unet_tpu.train.loops import train_supervised
     from weather_unet_tpu.train.metrics import SummaryWriter, run_comment
@@ -69,7 +69,7 @@ def main(argv=None):
     base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
     train_set = FlickrDataset(args.image_root, sep["train"], SIGNAL_COLUMNS,
                               out_size=base, class_id=None, imbalance=True,
-                              transform=HostAugment(
+                              transform=make_train_augment(
                                   args.input_size,
                                   resized_crop=args.augmentation,
                                   brightness=0.5 if args.augmentation else 0.0,

@@ -64,11 +64,11 @@ def main(argv=None):
 
     import pandas as pd
 
-    from weather_unet_tpu.data.transforms import HostAugment
+    from weather_unet_tpu.data.transforms import make_train_augment
 
     # host-side train augmentation in the loader threads (reference CPU-worker
     # design, t_cls_train.py:81-102); device path only normalizes
-    aug = HostAugment(args.input_size, resized_crop=args.augmentation,
+    aug = make_train_augment(args.input_size, resized_crop=args.augmentation,
                       brightness=0.5 if args.augmentation else 0.0,
                       contrast=0.3 if args.augmentation else 0.0,
                       saturation=0.3 if args.augmentation else 0.0)

@@ -60,11 +60,11 @@ def main(argv=None):
 
     est_apply = load_estimator(args.estimator_path)
 
-    from weather_unet_tpu.data.transforms import HostAugment
+    from weather_unet_tpu.data.transforms import make_train_augment
 
     # host-side train augmentation in the loader threads (reference CPU-worker
     # design, t_est_train.py:76-103); device path only normalizes
-    aug = HostAugment(args.input_size, resized_crop=args.augmentation,
+    aug = make_train_augment(args.input_size, resized_crop=args.augmentation,
                       brightness=0.5 if args.augmentation else 0.0,
                       contrast=0.3 if args.augmentation else 0.0,
                       saturation=0.3 if args.augmentation else 0.0)

@@ -75,6 +75,19 @@ def _decode(path: str, out_size: Optional[int]) -> np.ndarray:
         return np.asarray(im, dtype=np.uint8)
 
 
+def _load(path: str, out_size: Optional[int], transform) -> np.ndarray:
+    """Decode + transform one sample, using the transform's fused
+    decode-augment fast path (``transforms.NativeAugment.from_path``, one
+    GIL-free C++ call) when it offers one and the file is a JPEG."""
+    if (transform is not None and hasattr(transform, "from_path")
+            and path.lower().endswith((".jpg", ".jpeg"))):
+        return transform.from_path(path)
+    image = _decode(path, out_size)
+    if transform is not None:
+        image = transform(image)
+    return image
+
+
 class FlickrDataset:
     """Flickr weather-DB dataset (``dataset.py:27-79``).
 
@@ -111,14 +124,12 @@ class FlickrDataset:
             i = (idx + attempt) % len(self)
             path = os.path.join(self.root, self.photo_ids[i] + ".jpg")
             try:
-                image = _decode(path, self.out_size)
+                image = _load(path, self.out_size, self.transform)
                 break
             except Exception:
                 continue
         else:
             raise IOError(f"more than {_MAX_BAD_FILES} consecutive unreadable images at {idx}")
-        if self.transform is not None:
-            image = self.transform(image)
         cond = self.get_condition(i)
         if self.class_id is None:
             return image, cond, self.photo_ids[i]
@@ -144,14 +155,12 @@ class ImagePathDataset:
         for attempt in range(_MAX_BAD_FILES):
             i = (idx + attempt) % len(self)
             try:
-                image = _decode(self.paths[i], self.out_size)
+                image = _load(self.paths[i], self.out_size, self.transform)
                 break
             except Exception:
                 continue
         else:
             raise IOError(f"more than {_MAX_BAD_FILES} consecutive unreadable images at {idx}")
-        if self.transform is not None:
-            image = self.transform(image)
         if self.with_path:
             return image, self.paths[i]
         return image, True
@@ -177,9 +186,7 @@ class ClassImageDataset:
         return class_id_from_string(self.paths[idx].split(os.sep)[-2])
 
     def __getitem__(self, idx: int):
-        image = _decode(self.paths[idx], self.out_size)
-        if self.transform is not None:
-            image = self.transform(image)
+        image = _load(self.paths[idx], self.out_size, self.transform)
         target = self.get_class(idx)
         if self.inf:
             return image, target, self.paths[idx]

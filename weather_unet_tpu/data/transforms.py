@@ -79,25 +79,27 @@ def _affine_sample(img, mat, out_size: int):
             + v10 * (1 - fx) * fy + v11 * fx * fy)
 
 
-def _one_affine(key, in_h, in_w, cfg: AugmentConfig):
-    """Sample one inverse affine map out-pixel -> source-pixel: composition of
-    (resize-from-crop) o (rotation about center) o (optional hflip)."""
-    k_rot, k_scale, k_ratio, k_pos, k_flip = jax.random.split(key, 5)
+def affine_from_uniforms(u, in_h, in_w, cfg: AugmentConfig):
+    """Inverse affine map out-pixel -> source-pixel from 6 uniform draws
+    ``u = [rot, scale, log-ratio, pos-x, pos-y, flip]`` in [0, 1): composition
+    of (resize-from-crop) o (rotation about center) o (optional hflip).
 
+    Single source of the affine construction; the native runtime's
+    ``wut_make_affine`` (runtime/augment.cc) mirrors this formula exactly and
+    tests/test_native_augment.py pins the two against each other.
+    """
     # crop box in source coordinates
     if cfg.resized_crop:
         area = in_h * in_w
-        scale = jax.random.uniform(k_scale, (), minval=cfg.crop_scale[0],
-                                   maxval=cfg.crop_scale[1])
-        log_ratio = jax.random.uniform(
-            k_ratio, (), minval=math.log(cfg.crop_ratio[0]),
-            maxval=math.log(cfg.crop_ratio[1]))
+        scale = cfg.crop_scale[0] + u[1] * (cfg.crop_scale[1] - cfg.crop_scale[0])
+        log_ratio = (math.log(cfg.crop_ratio[0])
+                     + u[2] * (math.log(cfg.crop_ratio[1])
+                               - math.log(cfg.crop_ratio[0])))
         ratio = jnp.exp(log_ratio)
         cw = jnp.clip(jnp.sqrt(area * scale * ratio), 1.0, in_w)
         ch = jnp.clip(jnp.sqrt(area * scale / ratio), 1.0, in_h)
-        u = jax.random.uniform(k_pos, (2,))
-        cx0 = u[0] * (in_w - cw)
-        cy0 = u[1] * (in_h - ch)
+        cx0 = u[3] * (in_w - cw)
+        cy0 = u[4] * (in_h - ch)
     else:
         cw, ch = float(in_w), float(in_h)
         cx0 = cy0 = 0.0
@@ -107,14 +109,14 @@ def _one_affine(key, in_h, in_w, cfg: AugmentConfig):
     sy = ch / cfg.out_size
 
     # rotation about the image center (inverse map: rotate by +theta)
-    theta = jax.random.uniform(k_rot, (), minval=-cfg.degrees, maxval=cfg.degrees)
+    theta = -cfg.degrees + u[0] * (2.0 * cfg.degrees)
     t = theta * (math.pi / 180.0)
     cos, sin = jnp.cos(t), jnp.sin(t)
     cx = (in_w - 1) / 2.0
     cy = (in_h - 1) / 2.0
 
     # hflip in output space
-    flip = (jax.random.uniform(k_flip, ()) < 0.5) if cfg.hflip else jnp.asarray(False)
+    flip = (u[5] < 0.5) if cfg.hflip else jnp.asarray(False)
     fsign = jnp.where(flip, -1.0, 1.0)
     foff = jnp.where(flip, cfg.out_size - 1.0, 0.0)
 
@@ -127,6 +129,20 @@ def _one_affine(key, in_h, in_w, cfg: AugmentConfig):
     a22 = cos * sy
     a23 = sin * (foff * sx + cx0 - cx) + cos * (cy0 - cy) + cy
     return jnp.asarray([[a11, a12, a13], [a21, a22, a23]])
+
+
+def _one_affine(key, in_h, in_w, cfg: AugmentConfig):
+    """Sample one inverse affine map (uniform draws -> affine_from_uniforms)."""
+    k_rot, k_scale, k_ratio, k_pos, k_flip = jax.random.split(key, 5)
+    u_pos = jax.random.uniform(k_pos, (2,))
+    u = jnp.stack([
+        jax.random.uniform(k_rot, ()),
+        jax.random.uniform(k_scale, ()),
+        jax.random.uniform(k_ratio, ()),
+        u_pos[0], u_pos[1],
+        jax.random.uniform(k_flip, ()),
+    ])
+    return affine_from_uniforms(u, in_h, in_w, cfg)
 
 
 def _color_jitter(key, img, cfg: AugmentConfig):
@@ -159,10 +175,12 @@ class HostAugment:
 
     Runs inside ``BatchLoader`` worker threads and overlaps with device
     compute via ``device_prefetch`` — the reference's CPU-worker design.
-    This is the default train path: the on-device ``augment_batch`` warp is
-    a 4-tap gather, measured at 253 ms for a 224^2 B=128 batch on v5e
-    (gathers are slow on TPU), i.e. more than the train step itself; PIL
-    rotation on host threads hides behind the step instead.
+    Host augmentation is the train default because the on-device
+    ``augment_batch`` warp is a 4-tap gather, measured at 253 ms for a 224^2
+    B=128 batch on v5e (gathers are slow on TPU), i.e. more than the train
+    step itself.  ``make_train_augment`` prefers the fused native C++ twin
+    (``NativeAugment``, 3.0x faster per core); this PIL path is the
+    reference-faithful fallback (``WUT_NATIVE_AUGMENT=0``).
 
     Thread-safe deterministic RNG: a lock-guarded counter drives per-call
     ``np.random.default_rng((seed, counter))`` streams.
@@ -251,6 +269,115 @@ class HostAugment:
         for j in jitters:
             im = j(im)
         return _np.asarray(im, dtype=_np.uint8)
+
+
+class NativeAugment:
+    """Fused native train augmentation: JPEG decode -> one composed affine
+    resample (rotation o resized-crop o hflip) -> color jitter, in one
+    GIL-free C++ call per image (``runtime/augment.cc``).
+
+    Host twin of the on-device ``augment_batch`` kernel — same single
+    inverse-affine map (``affine_from_uniforms``), same jitter formulas —
+    rather than the reference's three sequential PIL resamplings
+    (``t_cls_train.py:81-102``).  Documented deviations from torchvision
+    (same as the device path): single-pass affine means no PIL antialiasing
+    on downscale and rotation/crop are composed instead of sequential;
+    jitter order is fixed brightness -> contrast -> saturation.
+
+    Randomness: numpy streams keyed ``(seed, counter)`` like ``HostAugment``;
+    the drawn uniforms parameterize the C affine so runs are deterministic.
+    """
+
+    def __init__(self, out_size: int, *, degrees: float = 10.0,
+                 hflip: bool = True, resized_crop: bool = False,
+                 crop_scale=(0.08, 1.0), crop_ratio=(3.0 / 4.0, 4.0 / 3.0),
+                 brightness: float = 0.0, contrast: float = 0.0,
+                 saturation: float = 0.0, seed: int = 0):
+        from weather_unet_tpu import runtime
+
+        if not runtime.native_available():
+            raise RuntimeError(
+                "native runtime not built (make -C weather_unet_tpu/runtime)")
+        self._runtime = runtime
+        self.out_size = out_size
+        self.degrees = degrees
+        self.hflip = hflip
+        self.resized_crop = resized_crop
+        self.crop_scale = crop_scale
+        self.crop_ratio = crop_ratio
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.seed = seed
+        import threading
+
+        self._lock = threading.Lock()
+        self._counter = 0
+
+    def _rng(self):
+        import numpy as _np
+
+        with self._lock:
+            self._counter += 1
+            n = self._counter
+        return _np.random.default_rng((self.seed, n))
+
+    def _draw(self, rng):
+        """(uniforms[6], jitter factors[3]); factor -1 disables a jitter."""
+        import numpy as _np
+
+        u = rng.random(6).astype(_np.float32)
+        fs = []
+        for j in (self.brightness, self.contrast, self.saturation):
+            fs.append(rng.uniform(max(0.0, 1 - j), 1 + j) if j else -1.0)
+        return u, _np.asarray(fs, dtype=_np.float32)
+
+    def _cfg_kwargs(self):
+        return dict(degrees=self.degrees, resized_crop=self.resized_crop,
+                    crop_scale=self.crop_scale, crop_ratio=self.crop_ratio,
+                    hflip=self.hflip, out_size=self.out_size)
+
+    def from_path(self, path: str):
+        """Fused decode+augment; raises IOError on a bad file so dataset
+        skip-on-corrupt retry loops engage."""
+        u, jit = self._draw(self._rng())
+        out = self._runtime.decode_augment_file(path, u, jit,
+                                                **self._cfg_kwargs())
+        if out is None:
+            raise IOError(f"native decode failed for {path}")
+        return out
+
+    def __call__(self, image_u8):
+        """Augment an already-decoded uint8 HWC image (non-JPEG fallback)."""
+        u, jit = self._draw(self._rng())
+        h, w = image_u8.shape[:2]
+        mat = self._runtime.make_affine(h, w, u, **self._cfg_kwargs())
+        return self._runtime.augment_u8(image_u8, mat, jit, self.out_size)
+
+
+def make_train_augment(out_size: int, *, resized_crop: bool = False,
+                       brightness: float = 0.0, contrast: float = 0.0,
+                       saturation: float = 0.0, seed: int = 0,
+                       prefer_native: Optional[bool] = None):
+    """Train-path augmentation factory: fused native C++ when the runtime is
+    built (decode+augment in one GIL-free call — the fast path on this
+    1-core host), PIL ``HostAugment`` otherwise.
+
+    ``prefer_native=None`` auto-selects; set ``WUT_NATIVE_AUGMENT=0`` to force
+    the reference-faithful PIL path (sequential torchvision-style resamples).
+    """
+    import os
+
+    from weather_unet_tpu import runtime
+
+    if prefer_native is None:
+        prefer_native = (os.environ.get("WUT_NATIVE_AUGMENT", "1") != "0"
+                         and runtime.native_available())
+    kw = dict(resized_crop=resized_crop, brightness=brightness,
+              contrast=contrast, saturation=saturation, seed=seed)
+    if prefer_native:
+        return NativeAugment(out_size, **kw)
+    return HostAugment(out_size, **kw)
 
 
 def augment_batch(key, images_u8, cfg: AugmentConfig):

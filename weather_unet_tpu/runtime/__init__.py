@@ -51,6 +51,21 @@ def load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int]
     lib.wut_decode_batch.restype = ctypes.c_int
+    f32p = ctypes.POINTER(ctypes.c_float)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.wut_make_affine.argtypes = [
+        ctypes.c_int, ctypes.c_int, f32p, ctypes.c_float, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, f32p]
+    lib.wut_make_affine.restype = None
+    lib.wut_augment_u8.argtypes = [
+        u8p, ctypes.c_int, ctypes.c_int, f32p, f32p, ctypes.c_int, u8p]
+    lib.wut_augment_u8.restype = ctypes.c_int
+    lib.wut_decode_augment_file.argtypes = [
+        ctypes.c_char_p, f32p, f32p, ctypes.c_float, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, u8p]
+    lib.wut_decode_augment_file.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -67,6 +82,73 @@ def decode_file(path: str, out_size: int) -> Optional[np.ndarray]:
     out = np.empty((out_size, out_size, 3), dtype=np.uint8)
     rc = lib.wut_decode_file(
         path.encode(), out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if rc == 0 else None
+
+
+def make_affine(h: int, w: int, uniforms: np.ndarray, *, degrees: float,
+                resized_crop: bool, crop_scale, crop_ratio, hflip: bool,
+                out_size: int) -> np.ndarray:
+    """Native affine-from-uniforms (mirrors
+    ``data.transforms.affine_from_uniforms``); returns a (2, 3) float32 map."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native loader not built; run runtime.build()")
+    u = np.ascontiguousarray(uniforms, dtype=np.float32)
+    mat = np.empty(6, dtype=np.float32)
+    lib.wut_make_affine(
+        h, w, u.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        float(degrees), int(resized_crop), float(crop_scale[0]),
+        float(crop_scale[1]), float(crop_ratio[0]), float(crop_ratio[1]),
+        int(hflip), out_size,
+        mat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return mat.reshape(2, 3)
+
+
+def augment_u8(image_u8: np.ndarray, mat: np.ndarray, jitter: np.ndarray,
+               out_size: int) -> np.ndarray:
+    """Native affine resample + color jitter of a decoded uint8 HWC image
+    (host twin of the device kernel in ``data/transforms.py``)."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native loader not built; run runtime.build()")
+    src = np.ascontiguousarray(image_u8, dtype=np.uint8)
+    h, w, c = src.shape
+    if c != 3:
+        raise ValueError(f"expected HWC RGB, got shape {src.shape}")
+    m = np.ascontiguousarray(mat, dtype=np.float32).reshape(6)
+    j = np.ascontiguousarray(jitter, dtype=np.float32)
+    out = np.empty((out_size, out_size, 3), dtype=np.uint8)
+    rc = lib.wut_augment_u8(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        j.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:
+        raise RuntimeError(f"wut_augment_u8 failed rc={rc}")
+    return out
+
+
+def decode_augment_file(path: str, uniforms: np.ndarray, jitter: np.ndarray, *,
+                        degrees: float, resized_crop: bool, crop_scale,
+                        crop_ratio, hflip: bool,
+                        out_size: int) -> Optional[np.ndarray]:
+    """Fused JPEG decode -> affine augment -> jitter; one GIL-free C call.
+
+    Returns the augmented (out_size, out_size, 3) uint8 image, or None on a
+    decode failure (caller applies its skip-on-corrupt policy).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native loader not built; run runtime.build()")
+    u = np.ascontiguousarray(uniforms, dtype=np.float32)
+    j = np.ascontiguousarray(jitter, dtype=np.float32)
+    out = np.empty((out_size, out_size, 3), dtype=np.uint8)
+    rc = lib.wut_decode_augment_file(
+        path.encode(), u.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        j.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), float(degrees),
+        int(resized_crop), float(crop_scale[0]), float(crop_scale[1]),
+        float(crop_ratio[0]), float(crop_ratio[1]), int(hflip), out_size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out if rc == 0 else None
 

@@ -26,6 +26,8 @@
 #include <thread>
 #include <vector>
 
+#include "runtime_internal.h"
+
 namespace {
 
 struct ErrorMgr {
@@ -69,6 +71,25 @@ void resize_bilinear(const uint8_t* src, int h, int w, int c,
 }
 
 int decode_one(const char* path, int out_size, uint8_t* out_rgb) {
+  std::vector<uint8_t> full;
+  int h = 0, w = 0;
+  int rc = wut::DecodeToRgb(path, out_size, &full, &h, &w);
+  if (rc != 0) return rc;
+  if (out_size > 0 && (w != out_size || h != out_size)) {
+    resize_bilinear(full.data(), h, w, 3, out_rgb, out_size);
+  } else {
+    std::memcpy(out_rgb, full.data(),
+                static_cast<size_t>(out_size) * out_size * 3);
+  }
+  return 0;
+}
+
+}  // namespace
+
+namespace wut {
+
+int DecodeToRgb(const char* path, int target_hint, std::vector<uint8_t>* rgb,
+                int* out_h, int* out_w) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
 
@@ -86,14 +107,15 @@ int decode_one(const char* path, int out_size, uint8_t* out_rgb) {
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   // DCT-domain downscale: pick the smallest scale >= 2x the target to keep
-  // the bilinear pass cheap while preserving quality.
-  if (out_size > 0) {
-    int full = std::max(static_cast<int>(cinfo.image_width),
-                        static_cast<int>(cinfo.image_height));
+  // the resample pass cheap while preserving quality.
+  if (target_hint > 0) {
+    int full_dim = std::max(static_cast<int>(cinfo.image_width),
+                            static_cast<int>(cinfo.image_height));
     cinfo.scale_num = 1;
     cinfo.scale_denom = 1;
     while (cinfo.scale_denom < 8 &&
-           full / (cinfo.scale_denom * 2) >= 2 * out_size) {
+           full_dim / static_cast<int>(cinfo.scale_denom * 2) >=
+               2 * target_hint) {
       cinfo.scale_denom *= 2;
     }
   }
@@ -103,7 +125,8 @@ int decode_one(const char* path, int out_size, uint8_t* out_rgb) {
   const int c = cinfo.output_components;  // 3 for RGB
   std::vector<uint8_t> full(static_cast<size_t>(w) * h * c);
   while (cinfo.output_scanline < cinfo.output_height) {
-    uint8_t* row = full.data() + static_cast<size_t>(cinfo.output_scanline) * w * c;
+    uint8_t* row =
+        full.data() + static_cast<size_t>(cinfo.output_scanline) * w * c;
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
@@ -111,22 +134,19 @@ int decode_one(const char* path, int out_size, uint8_t* out_rgb) {
   std::fclose(f);
 
   if (c != 3) {  // expand gray to RGB
-    std::vector<uint8_t> rgb(static_cast<size_t>(w) * h * 3);
+    std::vector<uint8_t> expanded(static_cast<size_t>(w) * h * 3);
     for (size_t i = 0; i < static_cast<size_t>(w) * h; ++i) {
-      rgb[i * 3] = rgb[i * 3 + 1] = rgb[i * 3 + 2] = full[i * c];
+      expanded[i * 3] = expanded[i * 3 + 1] = expanded[i * 3 + 2] = full[i * c];
     }
-    full.swap(rgb);
+    full.swap(expanded);
   }
-  if (out_size > 0 && (w != out_size || h != out_size)) {
-    resize_bilinear(full.data(), h, w, 3, out_rgb, out_size);
-  } else {
-    std::memcpy(out_rgb, full.data(),
-                static_cast<size_t>(out_size) * out_size * 3);
-  }
+  rgb->swap(full);
+  *out_h = h;
+  *out_w = w;
   return 0;
 }
 
-}  // namespace
+}  // namespace wut
 
 extern "C" {
 
