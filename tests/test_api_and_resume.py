@@ -40,6 +40,65 @@ def test_api_roundtrip(tmp_path, rng):
     assert img8.dtype == np.uint8 and img8.max() <= 255
 
 
+def test_translate_batch_bucketing(tmp_path, rng):
+    """Ragged serving batches share one executable per power-of-two bucket,
+    and padded dispatch returns exactly the unpadded rows (AdaIN stats are
+    per-sample, so zero padding rows cannot leak into real outputs)."""
+    cfg = GanConfig(input_size=32)
+    gen, disc, state = build_gan_state(cfg, jax.random.key(0))
+    cp = str(tmp_path / "g.pt")
+    ckpt.export_torch_gan(cp, {"params": state.gen.params},
+                          {"params": state.disc.params,
+                           "spectral": state.spectral}, 0, 0)
+    wt = WeatherTransfer.load(cp)
+
+    x4 = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    c4 = jnp.eye(5, dtype=jnp.float32)[np.array([0, 1, 2, 3])]
+
+    exact = wt.translate(x4[:3], c4[:3], bucket=False)
+    bucketed = wt.translate(x4[:3], c4[:3])
+    assert bucketed.shape == (3, 32, 32, 3)
+    np.testing.assert_array_equal(np.asarray(bucketed), np.asarray(exact))
+
+    n0 = wt._translate._cache_size()
+    wt.translate(x4[:4], c4[:4])          # same bucket (4) as the b=3 call
+    assert wt._translate._cache_size() == n0
+    wt.translate(x4[:1], c4[:1])          # bucket 1 -> new executable
+    assert wt._translate._cache_size() == n0 + 1
+
+
+def test_api_mesh_serving(tmp_path, rng):
+    """Data-parallel serving over the virtual 8-device mesh matches the
+    single-device forward, including through the bucketing pad path."""
+    from weather_unet_tpu.parallel.mesh import make_mesh
+
+    cfg = GanConfig(input_size=32)
+    gen, disc, state = build_gan_state(cfg, jax.random.key(0))
+    cp = str(tmp_path / "g.pt")
+    ckpt.export_torch_gan(cp, {"params": state.gen.params},
+                          {"params": state.disc.params,
+                           "spectral": state.spectral}, 0, 0)
+
+    plan = make_mesh(data=8)
+    wt_mesh = WeatherTransfer.load(cp, plan=plan)
+    wt_one = WeatherTransfer.load(cp)
+
+    x = jnp.asarray(rng.standard_normal((8, 32, 32, 3)).astype(np.float32))
+    c = jnp.eye(5, dtype=jnp.float32)[np.array([0, 1, 2, 3, 4, 0, 1, 2])]
+    np.testing.assert_allclose(
+        np.asarray(wt_mesh.translate(x, c)), np.asarray(wt_one.translate(x, c)),
+        atol=1e-5)
+
+    # ragged batch (5) pads to a multiple of the data axis (8) and slices back
+    out5 = wt_mesh.translate(x[:5], c[:5])
+    assert out5.shape == (5, 32, 32, 3)
+    np.testing.assert_allclose(
+        np.asarray(out5), np.asarray(wt_one.translate(x[:5], c[:5])), atol=1e-5)
+
+    alls = wt_mesh.translate_to_classes(x)
+    assert alls.shape == (5, 8, 32, 32, 3)
+
+
 def test_resume_is_exact(tmp_path, rng):
     """Checkpoint mid-training and resume: final state must equal the
     uninterrupted run bit-for-bit (optimizer moments + spectral state are in

@@ -15,7 +15,7 @@ ALL_CLIS = [
     "train_classifier", "train_estimator", "fid_score", "inception_score",
     "eval_class_transfer", "eval_estimator_transfer", "eval_classifier_i2w",
     "eval_estimator", "plot_signals", "write_image_summary", "pkl_viewer",
-    "preprocess", "convert_checkpoint",
+    "preprocess", "convert_checkpoint", "serve",
 ]
 
 

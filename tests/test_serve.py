@@ -1,0 +1,118 @@
+"""HTTP serving tests: micro-batcher numerics + end-to-end server plumbing."""
+
+import io
+import threading
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from weather_unet_tpu.api import WeatherTransfer
+from weather_unet_tpu.cli.serve import Batcher, build_server, build_parser
+from weather_unet_tpu.train import checkpoint as ckpt
+from weather_unet_tpu.train.gan import GanConfig, build_gan_state
+
+
+@pytest.fixture(scope="module")
+def cp_path(tmp_path_factory):
+    cfg = GanConfig(input_size=32)
+    _, _, state = build_gan_state(cfg, jax.random.key(0))
+    path = str(tmp_path_factory.mktemp("serve") / "g.pt")
+    ckpt.export_torch_gan(path, {"params": state.gen.params},
+                          {"params": state.disc.params,
+                           "spectral": state.spectral}, 0, 0)
+    return path
+
+
+def test_batcher_groups_and_matches_direct(cp_path, rng):
+    """Concurrent submits return exactly the direct API result, and the
+    dispatcher groups them into fewer device dispatches than requests."""
+    wt = WeatherTransfer.load(cp_path)
+    batcher = Batcher(wt, max_batch=8, batch_wait_ms=50.0)
+
+    imgs = rng.standard_normal((6, 32, 32, 3)).astype(np.float32).clip(-1, 1)
+    conds = np.eye(5, dtype=np.float32)[rng.integers(0, 5, 6)]
+    results = [None] * 6
+
+    def worker(i):
+        results[i] = batcher.submit(imgs[i], conds[i])
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    direct = wt.to_uint8(wt.translate(imgs, conds))
+    for i in range(6):
+        # grouping may land a request in a different bucket size than the
+        # direct batch-6 call; float drift across executables can flip a
+        # uint8 rounding boundary, no more
+        diff = np.abs(results[i].astype(np.int16) - direct[i].astype(np.int16))
+        assert diff.max() <= 1
+    stats = batcher.stats()
+    assert stats["requests"] == 6
+    assert stats["batches"] < 6  # grouping happened
+
+
+def test_batcher_surfaces_errors(cp_path):
+    wt = WeatherTransfer.load(cp_path)
+    batcher = Batcher(wt, max_batch=2, batch_wait_ms=1.0)
+    with pytest.raises(RuntimeError):
+        batcher.submit(np.zeros((32, 32, 3), np.float32),
+                       np.zeros(7, np.float32))  # wrong condition width
+
+
+def test_http_server_end_to_end(cp_path, rng):
+    from PIL import Image
+
+    args = build_parser().parse_args([
+        "--cp_path", cp_path, "--host", "127.0.0.1", "--port", "0",
+        "--input_size", "32", "--max_batch", "4", "--no-warmup"])
+    server = build_server(args)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{port}"
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert r.status == 200
+            assert b'"status": "ok"' in r.read()
+
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(
+            buf, "JPEG")
+        jpeg = buf.getvalue()
+
+        req = urllib.request.Request(f"{base}/translate?class=sunny", data=jpeg,
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "image/jpeg"
+            out = Image.open(io.BytesIO(r.read()))
+            assert out.size == (32, 32)
+
+        # soft-signal condition vector
+        req = urllib.request.Request(
+            f"{base}/translate?cond=0.1,-0.2,0.3,0.0,1.0", data=jpeg,
+            method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+
+        # bad condition -> 400, bad route -> 404
+        req = urllib.request.Request(f"{base}/translate?cond=1,2", data=jpeg,
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+        assert e.value.code == 404
+
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            assert r.status == 200
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)

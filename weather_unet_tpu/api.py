@@ -24,19 +24,34 @@ import jax.numpy as jnp
 
 
 class WeatherTransfer:
-    """Checkpointed conditional U-Net with jitted translation entry points."""
+    """Checkpointed conditional U-Net with jitted translation entry points.
 
-    def __init__(self, model, variables):
+    Pass a :class:`~weather_unet_tpu.parallel.mesh.MeshPlan` to serve
+    data-parallel over a device mesh: parameters are replicated once, inputs
+    are batch-sharded over the ``'data'`` axis, and each forward runs SPMD
+    with no collectives in the hot path (the cUNet has no cross-sample
+    coupling in eval mode).
+    """
+
+    def __init__(self, model, variables, plan=None):
         self.model = model
+        self.plan = plan
+        if plan is not None:
+            variables = jax.device_put(variables, plan.replicated())
         self.variables = variables
+        jit_kw = {}
+        if plan is not None:
+            bsh = plan.batch()
+            jit_kw = dict(in_shardings=(bsh, bsh), out_shardings=bsh)
 
-        @jax.jit
+        @functools.partial(jax.jit, **jit_kw)
         def _translate(x, c):
             return model.apply(variables, x, c)
 
         self._translate = _translate
 
-        @jax.jit
+        @functools.partial(
+            jax.jit, **({"in_shardings": (plan.batch(),)} if plan else {}))
         def _translate_all(x):
             eye = jnp.eye(model.num_classes, dtype=x.dtype)
 
@@ -49,17 +64,39 @@ class WeatherTransfer:
         self._translate_all = _translate_all
 
     @classmethod
-    def load(cls, cp_path: str, num_classes: int = 5, dtype=jnp.float32):
+    def load(cls, cp_path: str, num_classes: int = 5, dtype=jnp.float32,
+             plan=None):
         """Load from a reference ``.pt`` GAN bundle or our msgpack checkpoint."""
         from weather_unet_tpu.cli.common import load_transfer
 
         model, variables = load_transfer(cp_path, num_classes=num_classes,
                                          dtype=dtype)
-        return cls(model, variables)
+        return cls(model, variables, plan=plan)
 
-    def translate(self, images, conditions):
-        """(B,H,W,3) in [-1,1] + (B,num_classes) conditions -> translated."""
-        return self._translate(jnp.asarray(images), jnp.asarray(conditions))
+    def translate(self, images, conditions, *, bucket: bool = True):
+        """(B,H,W,3) in [-1,1] + (B,num_classes) conditions -> translated.
+
+        ``bucket=True`` (default) pads the batch up to the next power of two
+        before dispatch and slices the result, so a serving process that sees
+        ragged batch sizes compiles one executable per bucket instead of one
+        per exact batch size (jit caches on static shapes).  Padding rows are
+        zeros; the model has no cross-batch coupling in eval mode (AdaIN stats
+        are per-sample), so real rows are bit-identical either way.
+        """
+        x = jnp.asarray(images)
+        c = jnp.asarray(conditions)
+        b = x.shape[0]
+        if not bucket or b == 0:
+            return self._translate(x, c)
+        nb = 1 << max(b - 1, 0).bit_length()
+        if self.plan is not None:  # shardable: multiple of the data axis
+            n = self.plan.n_data
+            nb = (nb + n - 1) // n * n
+        if nb != b:
+            pad = nb - b
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            c = jnp.concatenate([c, jnp.zeros((pad,) + c.shape[1:], c.dtype)])
+        return self._translate(x, c)[:b]
 
     def translate_to_classes(self, images):
         """All one-hot class translations: -> (num_classes, B, H, W, 3)."""

@@ -21,6 +21,9 @@ def load_transfer(cp_path: str, num_classes: int = 5, dtype=jnp.float32):
     ``.pt`` GAN bundle (``sd['inference']`` — ``demo.py:51-54``).
 
     Returns (model, variables)."""
+    from weather_unet_tpu.core.profiling import enable_compilation_cache
+
+    enable_compilation_cache()  # serving funnel: all inference/eval CLIs + api
     model = ConditionalUNet(num_classes=num_classes, dtype=dtype)
     if cp_path.endswith((".pt", ".pth")):
         bundle = torch_io.load_torch_file(cp_path)

@@ -61,11 +61,15 @@ class StepTimer:
 
 def enable_compilation_cache(path: str = "~/.cache/weather_unet_tpu_xla"):
     """Persistent XLA compilation cache — first-compile times on TPU are
-    minutes (CLAUDE.md); caching makes restarts/resumes near-instant."""
+    minutes (CLAUDE.md); caching makes restarts/resumes near-instant.
+
+    Idempotent; set ``WUT_COMPILE_CACHE=0`` to disable (e.g. hermetic CI)."""
     import os
 
     import jax
 
+    if os.environ.get("WUT_COMPILE_CACHE", "1") == "0":
+        return
     try:
         cache_dir = os.path.expanduser(path)
         os.makedirs(cache_dir, exist_ok=True)
