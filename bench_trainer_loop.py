@@ -42,6 +42,10 @@ class SyntheticLoader:
 def run(batch, dtype_name, n_steps=40):
     import jax
     import jax.numpy as jnp
+
+    from weather_unet_tpu.core.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
     from weather_unet_tpu.models import ResNet101
     from weather_unet_tpu.train.gan import GanConfig
     from weather_unet_tpu.train.loops import WeatherTransferTrainer

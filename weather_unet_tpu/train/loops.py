@@ -59,12 +59,6 @@ class WeatherTransferTrainer:
 
         step = make_gan_step(self.gen, self.disc, est_apply, cfg)
         bsh, rsh = self.plan.batch(), self.plan.replicated()
-        shardings = dict(
-            in_shardings=(rsh, bsh, bsh, bsh, bsh, rsh), out_shardings=(rsh, rsh),
-            donate_argnums=(0,))  # state buffers reused in place
-        self._step_dg = jax.jit(functools.partial(step, do_g=True), **shardings)
-        self._step_d = jax.jit(functools.partial(step, do_g=False), **shardings)
-        self._eval = jax.jit(make_eval_step(self.gen, self.disc, est_apply, cfg))
 
         # Default: augmentation happens on HOST in the loader threads
         # (data.transforms.HostAugment, the reference's CPU-worker design) —
@@ -80,12 +74,35 @@ class WeatherTransferTrainer:
                 brightness=0.5 if augment else 0.0,
                 contrast=0.3 if augment else 0.0,
                 saturation=0.3 if augment else 0.0)
-            self._augment = jax.jit(lambda k, u8: augment_batch(k, u8, aug_cfg))
+            prep = lambda k, u8: augment_batch(k, u8, aug_cfg)
         else:
-            self._augment = lambda k, u8: self._normalize(u8)
+            prep = lambda k, u8: normalize_batch(u8, out_size=cfg.input_size)
+
+        # ONE jitted dispatch per training step: uint8 batches in, normalize/
+        # augment, per-step key derivation (fold_in of a fixed base key and
+        # the host step counter, shipped as a uint32 scalar with the call),
+        # then the GAN step.  Separate host-side dispatches for rng splits and
+        # augmentation cost a tunnel round-trip each (~2.4 ms, with spikes to
+        # tens of ms — bench_trainer_diag.py); fusing them removes every
+        # per-step RTT but the step itself.
+        def fused(state, x_u8, c_d, rx_u8, c_r, base_key, stepno, *, do_g):
+            k = jax.random.fold_in(base_key, stepno)
+            x = prep(jax.random.fold_in(k, 1), x_u8)
+            rx = prep(jax.random.fold_in(k, 2), rx_u8)
+            return step(state, x, c_d, rx, c_r, jax.random.fold_in(k, 0),
+                        do_g=do_g)
+
+        shardings = dict(
+            in_shardings=(rsh, bsh, bsh, bsh, bsh, rsh, rsh),
+            out_shardings=(rsh, rsh),
+            donate_argnums=(0,))  # state buffers reused in place
+        self._step_dg = jax.jit(functools.partial(fused, do_g=True), **shardings)
+        self._step_d = jax.jit(functools.partial(fused, do_g=False), **shardings)
+        self._eval = jax.jit(make_eval_step(self.gen, self.disc, est_apply, cfg))
 
         self.state = jax.device_put(self.state, rsh)
-        self._rng = jax.random.key(seed + 1)
+        self._base_key = jax.device_put(jax.random.key(seed + 1), rsh)
+        self._rng = jax.random.key(seed + 2)   # cold paths (evaluate)
         self.scalar_dict = {}
         self.image_dict = {}
         self.profile_dir = profile_dir
@@ -124,13 +141,6 @@ class WeatherTransferTrainer:
         self._rng, k = jax.random.split(self._rng)
         return k
 
-    def _next_rngs(self, n):
-        """One split dispatch for all of a step's keys (each device dispatch
-        costs ~2.4 ms RTT over the axon tunnel)."""
-        ks = jax.random.split(self._rng, n + 1)
-        self._rng = ks[0]
-        return [ks[i] for i in range(1, n + 1)]
-
     def train_epoch(self, train_loader: Iterable, random_loader: Iterable,
                     test_batches=None, labeled: bool = False):
         """One epoch over zipped content/condition streams
@@ -142,21 +152,23 @@ class WeatherTransferTrainer:
             self._all_step = self.cfg.num_epoch * len(train_loader)
         except TypeError:
             self._all_step = 0
+        # Only the image field is prefetched to device; condition vectors are
+        # tiny (B ints) and ship with the step dispatch itself — a separate
+        # per-step device_put costs a tunnel round-trip (~10 ms/step of the
+        # 51 ms B=8 f32 step, bench_trainer_diag.py)
         zipped = zip(
-            device_prefetch(train_loader, sharding=bsh, device_fields=[0, 1]),
-            device_prefetch(random_loader, sharding=bsh, device_fields=[0, 1]))
+            device_prefetch(train_loader, sharding=bsh, device_fields=[0]),
+            device_prefetch(random_loader, sharding=bsh, device_fields=[0]))
         # HOT LOOP: no device->host reads here.  Metrics stay on device
         # (self._last_metrics) and are read back only at the 1000-step
         # summary cadence, matching the reference's actual TB-write cadence
         # (t_est_train.py:336-345) — a per-step float() would serialize the
         # async dispatch stream (VERDICT.md round-1 'weak' #1).
         zeros = jnp.zeros(self.cfg.batch_size, jnp.int32)   # hoisted: one alloc
+        base_key = self._base_key
         for data, rand_data in zipped:
             if data[0].shape[0] != self.cfg.batch_size:
                 continue
-            k_a, k_b, k_step = self._next_rngs(3)
-            images = self._augment(k_a, data[0])
-            rand_images = self._augment(k_b, rand_data[0])
             if labeled:
                 c_d = data[1].astype(jnp.int32)
                 c_r = rand_data[1].astype(jnp.int32)
@@ -170,7 +182,8 @@ class WeatherTransferTrainer:
             if self._window_t0 is None:
                 self._window_t0 = time.perf_counter()
             self.state, metrics = fn(
-                self.state, images, c_d, rand_images, c_r, k_step)
+                self.state, data[0], c_d, rand_data[0], c_r, base_key,
+                np.uint32(gstep))
             self._last_metrics = metrics
             self._window_steps += 1
 
@@ -252,27 +265,34 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
     slow on TPU, see HostAugment docstring)."""
     plan = plan or make_mesh(batch_size=batch_size)
     bsh, rsh = plan.batch(), plan.replicated()
-    jstep = jax.jit(step_fn, in_shardings=(rsh, bsh, bsh), out_shardings=(rsh, rsh))
-    jeval = jax.jit(eval_fn, in_shardings=(rsh, rsh, bsh, bsh), out_shardings=rsh)
     out_size = augment_cfg.out_size if augment_cfg else input_size
     norm = jax.jit(lambda u8: normalize_batch(u8, out_size=out_size))
     if augment_cfg is not None:
         aug_cfg = augment_cfg
-        aug = jax.jit(lambda k, u8: augment_batch(k, u8, aug_cfg))
+        prep = lambda k, u8: augment_batch(k, u8, aug_cfg)
     else:
-        aug = lambda k, u8: norm(u8)
-    rng = jax.random.key(seed)
+        prep = lambda k, u8: normalize_batch(u8, out_size=out_size)
+
+    # One dispatch per step: normalize/augment + per-step key + step fused
+    # (same rationale as WeatherTransferTrainer — per-step tunnel RTTs).
+    def fused(state, x_u8, targets, base_key, stepno):
+        k = jax.random.fold_in(base_key, stepno)
+        return step_fn(state, prep(k, x_u8), targets)
+
+    jstep = jax.jit(fused, in_shardings=(rsh, bsh, bsh, rsh, rsh),
+                    out_shardings=(rsh, rsh))
+    jeval = jax.jit(eval_fn, in_shardings=(rsh, rsh, bsh, bsh), out_shardings=rsh)
+    base_key = jax.device_put(jax.random.key(seed), rsh)
     state = jax.device_put(state, rsh)
 
     global_step = 0
     train_metrics = []
     for epoch in range(num_epoch):
         for batch in device_prefetch(train_loader_fn(), sharding=bsh,
-                                     device_fields=[0, 1]):
-            rng, k = jax.random.split(rng)
-            images = aug(k, batch[0])
-            targets = batch[1].astype(target_dtype)
-            state, metrics = jstep(state, images, targets)
+                                     device_fields=[0]):
+            targets = np.asarray(batch[1]).astype(target_dtype)
+            state, metrics = jstep(state, batch[0], targets, base_key,
+                                   np.uint32(global_step))
             # Device arrays only — read back at the eval cadence, not per
             # step (avoids a host sync in the hot loop).
             train_metrics.append(metrics)
