@@ -20,8 +20,10 @@ def _run(code, *, xla_flags=None):
         env.pop("XLA_FLAGS", None)
     else:
         env["XLA_FLAGS"] = xla_flags
+    # The first dryrun pays a ~10-min sharded-GAN-step compile on a 1-core
+    # host; subsequent runs hit the persistent CPU compile cache.
     return subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
-                          capture_output=True, text=True, timeout=600)
+                          capture_output=True, text=True, timeout=1500)
 
 
 def test_dryrun_self_provisions_fresh_process():

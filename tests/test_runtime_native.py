@@ -29,6 +29,18 @@ def jpgs(tmp_path, rng):
     return paths
 
 
+def test_decode_bytes_matches_file(built, jpgs):
+    """The memory-source decode (HTTP uploads) is bit-identical to the
+    file-source decode, and rejects non-JPEG bytes."""
+    with open(jpgs[0], "rb") as f:
+        data = f.read()
+    a = runtime.decode_bytes(data, 64)
+    b = runtime.decode_file(jpgs[0], 64)
+    assert a is not None and b is not None
+    np.testing.assert_array_equal(a, b)
+    assert runtime.decode_bytes(b"definitely not a jpeg", 64) is None
+
+
 def test_decode_file(built, jpgs):
     img = runtime.decode_file(jpgs[0], 64)
     assert img is not None and img.shape == (64, 64, 3) and img.dtype == np.uint8

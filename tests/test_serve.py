@@ -57,6 +57,36 @@ def test_batcher_groups_and_matches_direct(cp_path, rng):
     assert stats["batches"] < 6  # grouping happened
 
 
+def test_server_data_parallel(cp_path, rng):
+    """--data_parallel serves over the virtual 8-device mesh; a single
+    request pads through the bucket path and returns a valid image."""
+    from PIL import Image
+
+    args = build_parser().parse_args([
+        "--cp_path", cp_path, "--host", "127.0.0.1", "--port", "0",
+        "--input_size", "32", "--max_batch", "4", "--no-warmup",
+        "--data_parallel"])
+    server = build_server(args)
+    assert server.transfer.plan is not None
+    assert server.transfer.plan.n_data == 8
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(
+            buf, "JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/translate?class=foggy",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            assert Image.open(io.BytesIO(r.read())).size == (32, 32)
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)
+
+
 def test_batcher_surfaces_errors(cp_path):
     wt = WeatherTransfer.load(cp_path)
     batcher = Batcher(wt, max_batch=2, batch_wait_ms=1.0)

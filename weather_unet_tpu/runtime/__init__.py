@@ -51,6 +51,13 @@ def load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
         ctypes.c_int]
     lib.wut_decode_batch.restype = ctypes.c_int
+    try:
+        lib.wut_decode_bytes.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.wut_decode_bytes.restype = ctypes.c_int
+    except AttributeError:  # stale .so from before the bytes entry
+        pass
     f32p = ctypes.POINTER(ctypes.c_float)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.wut_make_affine.argtypes = [
@@ -82,6 +89,20 @@ def decode_file(path: str, out_size: int) -> Optional[np.ndarray]:
     out = np.empty((out_size, out_size, 3), dtype=np.uint8)
     rc = lib.wut_decode_file(
         path.encode(), out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out if rc == 0 else None
+
+
+def decode_bytes(data: bytes, out_size: int) -> Optional[np.ndarray]:
+    """Decode an in-memory JPEG (e.g. an HTTP upload) to
+    (out_size, out_size, 3) uint8; None on failure or when the library (or a
+    stale build without the bytes entry) is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "wut_decode_bytes"):
+        return None
+    out = np.empty((out_size, out_size, 3), dtype=np.uint8)
+    rc = lib.wut_decode_bytes(
+        data, len(data), out_size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out if rc == 0 else None
 

@@ -146,12 +146,84 @@ int DecodeToRgb(const char* path, int target_hint, std::vector<uint8_t>* rgb,
   return 0;
 }
 
+int DecodeBytesToRgb(const uint8_t* data, size_t len, int target_hint,
+                     std::vector<uint8_t>* rgb, int* out_h, int* out_w) {
+  // Memory-source twin of DecodeToRgb (serving uploads arrive as bytes, not
+  // paths).  Kept as a sibling rather than factored: setjmp-based libjpeg
+  // error recovery must live in the frame owning the cinfo.
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -2;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(data),
+               static_cast<unsigned long>(len));
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  if (target_hint > 0) {
+    int full_dim = std::max(static_cast<int>(cinfo.image_width),
+                            static_cast<int>(cinfo.image_height));
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = 1;
+    while (cinfo.scale_denom < 8 &&
+           full_dim / static_cast<int>(cinfo.scale_denom * 2) >=
+               2 * target_hint) {
+      cinfo.scale_denom *= 2;
+    }
+  }
+  jpeg_start_decompress(&cinfo);
+  const int w = cinfo.output_width;
+  const int h = cinfo.output_height;
+  const int c = cinfo.output_components;
+  std::vector<uint8_t> full(static_cast<size_t>(w) * h * c);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row =
+        full.data() + static_cast<size_t>(cinfo.output_scanline) * w * c;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+
+  if (c != 3) {
+    std::vector<uint8_t> expanded(static_cast<size_t>(w) * h * 3);
+    for (size_t i = 0; i < static_cast<size_t>(w) * h; ++i) {
+      expanded[i * 3] = expanded[i * 3 + 1] = expanded[i * 3 + 2] = full[i * c];
+    }
+    full.swap(expanded);
+  }
+  rgb->swap(full);
+  *out_h = h;
+  *out_w = w;
+  return 0;
+}
+
 }  // namespace wut
 
 extern "C" {
 
 int wut_decode_file(const char* path, int out_size, uint8_t* out_rgb) {
   return decode_one(path, out_size, out_rgb);
+}
+
+// Decode a JPEG from memory (HTTP upload) to out_size^2 RGB u8.
+int wut_decode_bytes(const uint8_t* data, long len, int out_size,
+                     uint8_t* out_rgb) {
+  std::vector<uint8_t> full;
+  int h = 0, w = 0;
+  int rc = wut::DecodeBytesToRgb(data, static_cast<size_t>(len), out_size,
+                                 &full, &h, &w);
+  if (rc != 0) return rc;
+  if (out_size > 0 && (w != out_size || h != out_size)) {
+    resize_bilinear(full.data(), h, w, 3, out_rgb, out_size);
+  } else {
+    std::memcpy(out_rgb, full.data(),
+                static_cast<size_t>(out_size) * out_size * 3);
+  }
+  return 0;
 }
 
 // Decode n files in parallel; out is (n, out_size, out_size, 3) contiguous.
