@@ -15,7 +15,7 @@ import time
 import urllib.request
 
 
-def main(duration_s: float = 20.0, n_clients: int = 32, size: int = 256):
+def main(duration_s: float = 45.0, n_clients: int = 32, size: int = 256):
     import numpy as np
 
     import jax
@@ -34,7 +34,10 @@ def main(duration_s: float = 20.0, n_clients: int = 32, size: int = 256):
         "--cp_path", cp, "--host", "127.0.0.1", "--port", "0",
         "--input_size", str(size), "--max_batch", "64",
         "--batch_wait_ms", "10", "--bf16"])
-    server = build_server(args)   # --warmup compiles buckets 1 and 64
+    t_warm = time.monotonic()
+    server = build_server(args)   # --warmup compiles every pow2 bucket <= 64
+    print(json.dumps({"warmup_s": round(time.monotonic() - t_warm, 1)}),
+          flush=True)
     port = server.server_address[1]
     threading.Thread(target=server.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{port}/translate?class=2"

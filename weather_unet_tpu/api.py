@@ -83,20 +83,25 @@ class WeatherTransfer:
         zeros; the model has no cross-batch coupling in eval mode (AdaIN stats
         are per-sample), so real rows are bit-identical either way.
         """
-        x = jnp.asarray(images)
-        c = jnp.asarray(conditions)
-        b = x.shape[0]
-        if not bucket or b == 0:
-            return self._translate(x, c)
+        # host inputs stay numpy through padding (one H2D with the call, no
+        # extra device concat dispatch — tunnel acks are per-dispatch);
+        # device inputs pad on device
+        def pad_rows(a, pad):
+            lib = jnp if isinstance(a, jax.Array) else np
+            a = lib.asarray(a)
+            return lib.concatenate([a, lib.zeros((pad,) + a.shape[1:], a.dtype)])
+
+        x, c = images, conditions
+        b = np.shape(x)[0]
         nb = 1 << max(b - 1, 0).bit_length()
         if self.plan is not None:  # shardable: multiple of the data axis
             n = self.plan.n_data
             nb = (nb + n - 1) // n * n
-        if nb != b:
-            pad = nb - b
-            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
-            c = jnp.concatenate([c, jnp.zeros((pad,) + c.shape[1:], c.dtype)])
-        return self._translate(x, c)[:b]
+        if not bucket or b == 0 or nb == b:
+            return self._translate(jnp.asarray(x), jnp.asarray(c))
+        x = pad_rows(x, nb - b)
+        c = pad_rows(c, nb - b)
+        return self._translate(jnp.asarray(x), jnp.asarray(c))[:b]
 
     def translate_to_classes(self, images):
         """All one-hot class translations: -> (num_classes, B, H, W, 3)."""

@@ -239,12 +239,16 @@ def build_server(args) -> ThreadingHTTPServer:
     batcher = Batcher(wt, max_batch=args.max_batch,
                       batch_wait_ms=args.batch_wait_ms)
     if args.warmup:
-        # compile the 1- and max-batch buckets before accepting traffic
+        # Compile EVERY power-of-two bucket up to max_batch before accepting
+        # traffic — a cold bucket hit mid-serving stalls a whole request
+        # group for the compile time (minutes on a tunneled TPU; measured in
+        # bench_serve.py).
         z = np.zeros((args.input_size, args.input_size, 3), np.float32)
         e0 = np.eye(args.num_classes, dtype=np.float32)[0]
-        wt.translate(z[None], e0[None])
-        wt.translate(np.tile(z, (args.max_batch, 1, 1, 1)),
-                     np.tile(e0, (args.max_batch, 1)))
+        bs = 1
+        while bs <= args.max_batch:
+            wt.translate(np.tile(z, (bs, 1, 1, 1)), np.tile(e0, (bs, 1)))
+            bs <<= 1
     handler = make_handler(batcher, args.classes, args.num_classes,
                            args.input_size)
     server = ThreadingHTTPServer((args.host, args.port), handler)
