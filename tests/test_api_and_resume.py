@@ -39,6 +39,13 @@ def test_api_roundtrip(tmp_path, rng):
     img8 = wt.to_uint8(out)
     assert img8.dtype == np.uint8 and img8.max() <= 255
 
+    # uint8-wire fast path == preprocess -> translate -> to_uint8 (f32 exact)
+    c2 = jnp.eye(5)[:2]
+    ref = wt.to_uint8(wt.translate(wt.preprocess(u8), c2))
+    fast = np.asarray(wt.translate_u8(u8, c2))
+    assert fast.dtype == np.uint8
+    np.testing.assert_array_equal(fast, ref)
+
 
 def test_translate_batch_bucketing(tmp_path, rng):
     """Ragged serving batches share one executable per power-of-two bucket,

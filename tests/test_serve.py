@@ -32,7 +32,7 @@ def test_batcher_groups_and_matches_direct(cp_path, rng):
     wt = WeatherTransfer.load(cp_path)
     batcher = Batcher(wt, max_batch=8, batch_wait_ms=50.0)
 
-    imgs = rng.standard_normal((6, 32, 32, 3)).astype(np.float32).clip(-1, 1)
+    imgs = rng.integers(0, 255, (6, 32, 32, 3), dtype=np.uint8)
     conds = np.eye(5, dtype=np.float32)[rng.integers(0, 5, 6)]
     results = [None] * 6
 
@@ -45,7 +45,7 @@ def test_batcher_groups_and_matches_direct(cp_path, rng):
     for t in threads:
         t.join()
 
-    direct = wt.to_uint8(wt.translate(imgs, conds))
+    direct = np.asarray(wt.translate_u8(imgs, conds))
     for i in range(6):
         # grouping may land a request in a different bucket size than the
         # direct batch-6 call; float drift across executables can flip a

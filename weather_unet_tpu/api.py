@@ -50,6 +50,19 @@ class WeatherTransfer:
 
         self._translate = _translate
 
+        @functools.partial(jax.jit, **jit_kw)
+        def _translate_u8(x_u8, c):
+            # normalize exactly like data.transforms.normalize_batch and
+            # denormalize exactly like to_uint8, but ON DEVICE: the wire
+            # carries uint8 both ways (4x less host<->device traffic than
+            # f32 — the serving bottleneck on bandwidth-limited links,
+            # measured in bench_serve.py)
+            x = x_u8.astype(jnp.float32) / 255.0
+            y = model.apply(variables, (x - 0.5) / 0.5, c)
+            return ((y.astype(jnp.float32) + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
+
+        self._translate_u8 = _translate_u8
+
         @functools.partial(
             jax.jit, **({"in_shardings": (plan.batch(),)} if plan else {}))
         def _translate_all(x):
@@ -83,6 +96,19 @@ class WeatherTransfer:
         zeros; the model has no cross-batch coupling in eval mode (AdaIN stats
         are per-sample), so real rows are bit-identical either way.
         """
+        return self._bucketed(self._translate, images, conditions, bucket)
+
+    def translate_u8(self, images_u8, conditions, *, bucket: bool = True):
+        """uint8 NHWC in + uint8 out, with normalize/denormalize fused into
+        the jitted forward — the serving fast path: the host<->device wire
+        carries 4x less than the f32 ``translate`` round trip, and the host
+        never touches float pixels.  Numerics: same formulas as
+        ``to_uint8(translate(preprocess(u8)))``, evaluated on device —
+        bit-exact for f32 models; bf16 models may differ by 1 uint8 step at
+        rounding boundaries (host-side numpy promotes bf16 differently)."""
+        return self._bucketed(self._translate_u8, images_u8, conditions, bucket)
+
+    def _bucketed(self, fn, images, conditions, bucket):
         # host inputs stay numpy through padding (one H2D with the call, no
         # extra device concat dispatch — tunnel acks are per-dispatch);
         # device inputs pad on device
@@ -98,10 +124,10 @@ class WeatherTransfer:
             n = self.plan.n_data
             nb = (nb + n - 1) // n * n
         if not bucket or b == 0 or nb == b:
-            return self._translate(jnp.asarray(x), jnp.asarray(c))
+            return fn(jnp.asarray(x), jnp.asarray(c))
         x = pad_rows(x, nb - b)
         c = pad_rows(c, nb - b)
-        return self._translate(jnp.asarray(x), jnp.asarray(c))[:b]
+        return fn(jnp.asarray(x), jnp.asarray(c))[:b]
 
     def translate_to_classes(self, images):
         """All one-hot class translations: -> (num_classes, B, H, W, 3)."""

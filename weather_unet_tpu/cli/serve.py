@@ -41,7 +41,7 @@ from weather_unet_tpu.data.datasets import WEATHER_CLASSES_I2W
 
 @dataclass
 class _Request:
-    image: np.ndarray                      # (H, W, 3) float32 in [-1, 1]
+    image: np.ndarray                      # (H, W, 3) uint8
     cond: np.ndarray                       # (num_classes,) float32
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None    # (H, W, 3) uint8
@@ -94,7 +94,7 @@ class Batcher:
             try:
                 x = np.stack([r.image for r in group])
                 c = np.stack([r.cond for r in group])
-                out = self.transfer.to_uint8(self.transfer.translate(x, c))
+                out = np.asarray(self.transfer.translate_u8(x, c))
                 for i, r in enumerate(group):
                     r.result = out[i]
             except Exception as e:  # surface per-request, keep serving
@@ -144,7 +144,8 @@ def _parse_condition(qs: dict, classes, num_classes: int) -> np.ndarray:
 
 
 def _decode_resize(body: bytes, size: int) -> np.ndarray:
-    """JPEG/PNG bytes -> (size, size, 3) float32 in [-1, 1].
+    """JPEG/PNG bytes -> (size, size, 3) uint8 (normalization happens inside
+    the jitted forward — ``translate_u8`` — so the wire stays uint8).
 
     JPEGs go through the native runtime when built (GIL-free libjpeg decode
     with DCT-domain downscale — the same path the training datasets use);
@@ -160,7 +161,7 @@ def _decode_resize(body: bytes, size: int) -> np.ndarray:
         if img.size != (size, size):
             img = img.resize((size, size), Image.BILINEAR)
         arr = np.asarray(img)
-    return (arr.astype(np.float32) / 255.0 - 0.5) / 0.5
+    return arr
 
 
 def make_handler(batcher: Batcher, classes, num_classes: int, size: int,
@@ -243,11 +244,11 @@ def build_server(args) -> ThreadingHTTPServer:
         # traffic — a cold bucket hit mid-serving stalls a whole request
         # group for the compile time (minutes on a tunneled TPU; measured in
         # bench_serve.py).
-        z = np.zeros((args.input_size, args.input_size, 3), np.float32)
+        z = np.zeros((args.input_size, args.input_size, 3), np.uint8)
         e0 = np.eye(args.num_classes, dtype=np.float32)[0]
         bs = 1
         while bs <= args.max_batch:
-            wt.translate(np.tile(z, (bs, 1, 1, 1)), np.tile(e0, (bs, 1)))
+            wt.translate_u8(np.tile(z, (bs, 1, 1, 1)), np.tile(e0, (bs, 1)))
             bs <<= 1
     handler = make_handler(batcher, args.classes, args.num_classes,
                            args.input_size)
