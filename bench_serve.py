@@ -60,9 +60,12 @@ def main(duration_s: float = 45.0, n_clients: int = 32, size: int = 256):
     def client():
         while time.monotonic() < stop:
             t0 = time.perf_counter()
-            r = urllib.request.Request(url, data=jpeg, method="POST")
-            with urllib.request.urlopen(r, timeout=600) as resp:
-                resp.read()
+            try:
+                r = urllib.request.Request(url, data=jpeg, method="POST")
+                with urllib.request.urlopen(r, timeout=600) as resp:
+                    resp.read()
+            except OSError:  # transient reset under heavy concurrency
+                continue
             dt = time.perf_counter() - t0
             with lock:
                 lat.append(dt)

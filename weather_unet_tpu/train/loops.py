@@ -66,8 +66,6 @@ class WeatherTransferTrainer:
         # B=128 batch on v5e, more than the train step itself.  The device
         # path here then only normalizes.  device_augment=True keeps the
         # fully-on-device variant.
-        self._normalize = jax.jit(
-            lambda u8: normalize_batch(u8, out_size=cfg.input_size))
         if device_augment:
             aug_cfg = AugmentConfig(
                 out_size=cfg.input_size, resized_crop=augment,
