@@ -5,6 +5,7 @@ wraps the same checkpoint formats behind a serving-friendly object:
 
     wt = WeatherTransfer.load("ckpt.pt")            # or msgpack
     out = wt.translate(images, conditions)          # NHWC [-1,1] -> [-1,1]
+    u8o = wt.translate_u8(u8_images, conditions)    # uint8 wire fast path
     outs = wt.translate_to_classes(images)          # all 5 one-hots, vmapped
     frames = wt.sweep(images, estimator)            # demo-style theta sweep
     u8 = wt.to_uint8(out)                           # (x+1)*127.5 denorm
