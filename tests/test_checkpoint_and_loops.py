@@ -171,3 +171,22 @@ def test_gan_trainer_hot_loop_no_host_reads(tmp_path, monkeypatch):
     assert "losses/d_loss/train" in tr.scalar_dict
     assert np.isfinite(tr.scalar_dict["losses/d_loss/train"])
     assert tr.scalar_dict["perf/steps_per_sec"] > 0
+
+
+def test_summary_warns_on_nonfinite_metrics(tmp_path, capsys):
+    """Divergence guard: NaN losses are flagged loudly at the summary
+    cadence (the hot loop itself never reads device scalars)."""
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    cfg = GanConfig(input_size=32, batch_size=4, num_epoch=1)
+    tr = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path), name="n",
+        log_dir=str(tmp_path / "runs"))
+    tr._last_metrics = {"d_loss": jnp.float32(np.nan),
+                        "g_loss": jnp.float32(1.0)}
+    tr.update_summary()
+    out = capsys.readouterr().out
+    assert "non-finite training metrics" in out and "d_loss" in out

@@ -143,6 +143,17 @@ def test_http_server_end_to_end(cp_path, rng):
 
         with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
             assert r.status == 200
+
+        # live profiler capture
+        import os
+        import tempfile
+
+        tdir = tempfile.mkdtemp()
+        req = urllib.request.Request(
+            f"{base}/profile?seconds=0.2&dir={tdir}", data=b"", method="POST")
+        with urllib.request.urlopen(req, timeout=60) as r:
+            assert r.status == 200
+        assert os.path.isdir(os.path.join(tdir, "plugins"))
     finally:
         server.shutdown()
         thread.join(timeout=10)

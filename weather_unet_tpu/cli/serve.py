@@ -193,6 +193,24 @@ def make_handler(batcher: Batcher, classes, num_classes: int, size: int,
 
         def do_POST(self):
             url = urlparse(self.path)
+            if url.path == "/profile":
+                # capture a jax.profiler trace of live traffic (TensorBoard/
+                # Perfetto-viewable) — the observability hook the reference
+                # lacks (SURVEY.md §5)
+                try:
+                    seconds = float(parse_qs(url.query).get("seconds", ["3"])[0])
+                    seconds = min(max(seconds, 0.1), 60.0)
+                    out_dir = parse_qs(url.query).get(
+                        "dir", ["/tmp/wut_profile"])[0]
+                    import jax
+
+                    jax.profiler.start_trace(out_dir)
+                    time.sleep(seconds)
+                    jax.profiler.stop_trace()
+                    self._json(200, {"trace_dir": out_dir, "seconds": seconds})
+                except Exception as e:
+                    self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
             if url.path != "/translate":
                 self._json(404, {"error": f"no route {url.path}"})
                 return

@@ -214,9 +214,16 @@ class WeatherTransferTrainer:
         block_until_ready, which returns early over the axon tunnel."""
         step = self._gstep
         if self._last_metrics is not None:
+            vals = {k: float(v) for k, v in self._last_metrics.items()}
+            bad = [k for k, v in vals.items() if not np.isfinite(v)]
+            if bad:
+                # Loss blow-ups surface at the summary cadence (the hot loop
+                # never reads device scalars); flag loudly so a diverged or
+                # NaN'd run (e.g. bf16 overflow) isn't silently logged.
+                print(f"WARNING: non-finite training metrics at step {step}: "
+                      f"{bad} — run may have diverged", flush=True)
             self.scalar_dict.update(
-                {f"losses/{k}/train": float(v)
-                 for k, v in self._last_metrics.items()})
+                {f"losses/{k}/train": v for k, v in vals.items()})
         if self._all_step:  # reference logs the lmda ramp (t_est_train.py:254,376-379)
             self.scalar_dict["variables/lmda"] = (
                 self.cfg.lmda if self.cfg.lmda else step / self._all_step)
