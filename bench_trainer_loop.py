@@ -1,11 +1,17 @@
 """Trainer-LOOP throughput on TPU (VERDICT r1 item 2 'done' criterion).
 
-Runs the actual ``WeatherTransferTrainer`` epoch loop — augment, host-side
-step bookkeeping, device_prefetch, summary cadence — over synthetic
-in-memory uint8 batches, and reports images/sec as measured by the loop's own
+Runs the actual ``WeatherTransferTrainer`` epoch loop — fused one-dispatch
+steps, host-side bookkeeping, device_prefetch, summary cadence — over
+synthetic in-memory uint8 batches, and reports images/sec from the loop's own
 summary-window accounting.  The claim under test: with metrics kept on device
-between summaries, the real trainer is within ~10% of bench_train.py's
-step-only number.
+between summaries and the whole step (normalize + keys + GAN update) in one
+dispatch, the real trainer tracks bench_train.py's step-only number.
+
+Measured (v5e via the axon tunnel): bf16 B=128 282 img/s = 92% of the
+305 img/s step-only bound.  The f32 B=8 config is tunnel-RTT-bound at its
+45 ms step granularity — identical code measured 28-175 img/s across runs as
+tunnel latency wandered; treat small-batch numbers from this harness as a
+measure of the link, not the loop (see bench_trainer_diag.py).
 """
 
 import json
