@@ -65,7 +65,7 @@ def _adain_kernel(x_ref, ys_ref, ym_ref, o_ref, *, eps: float):
 def _adain_pallas_impl(x, y_scale, y_mean, eps: float, interpret: bool):
     b, h, w, c = x.shape
     kernel = functools.partial(_adain_kernel, eps=eps)
-    ms = pltpu.ANY if interpret else pltpu.VMEM
+    ms = pl.ANY if interpret else pltpu.VMEM
     # style tensors carried as (B, 1, C) so the (1, 1, C) block satisfies the
     # Mosaic last-two-dims tiling rule (C % 128 == 0 at every AdaIN site)
     return pl.pallas_call(
