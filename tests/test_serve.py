@@ -87,6 +87,19 @@ def test_server_data_parallel(cp_path, rng):
         thread.join(timeout=10)
 
 
+def test_warmup_compiles_every_bucket(cp_path):
+    """Startup warmup must pre-compile each pow2 bucket <= max_batch — a cold
+    bucket mid-serving stalls a request group for the full compile."""
+    args = build_parser().parse_args([
+        "--cp_path", cp_path, "--host", "127.0.0.1", "--port", "0",
+        "--input_size", "32", "--max_batch", "4"])   # warmup ON
+    server = build_server(args)
+    try:
+        assert server.transfer._translate_u8._cache_size() == 3  # 1, 2, 4
+    finally:
+        server.server_close()
+
+
 def test_batcher_surfaces_errors(cp_path):
     wt = WeatherTransfer.load(cp_path)
     batcher = Batcher(wt, max_batch=2, batch_wait_ms=1.0)
