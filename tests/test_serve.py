@@ -111,9 +111,11 @@ def test_batcher_surfaces_errors(cp_path):
 def test_http_server_end_to_end(cp_path, rng):
     from PIL import Image
 
+    # warmup ON: compiles happen before traffic (the production posture) so
+    # request timeouts don't race a jit compile on a loaded CI core
     args = build_parser().parse_args([
         "--cp_path", cp_path, "--host", "127.0.0.1", "--port", "0",
-        "--input_size", "32", "--max_batch", "4", "--no-warmup"])
+        "--input_size", "32", "--max_batch", "4"])
     server = build_server(args)
     port = server.server_address[1]
     thread = threading.Thread(target=server.serve_forever, daemon=True)

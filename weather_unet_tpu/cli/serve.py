@@ -54,7 +54,7 @@ class Batcher:
     applied at serving time)."""
 
     def __init__(self, transfer, max_batch: int = 16, batch_wait_ms: float = 5.0,
-                 timeout_s: float = 120.0):
+                 timeout_s: float = 300.0):
         self.transfer = transfer
         self.max_batch = max_batch
         self.batch_wait_s = batch_wait_ms / 1e3
