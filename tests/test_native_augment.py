@@ -195,6 +195,25 @@ def test_make_train_augment_selects(monkeypatch):
     assert isinstance(aug, HostAugment)
 
 
+def test_stale_so_falls_back_to_pil(monkeypatch):
+    """A stale pre-augment .so (decode entries only) must degrade cleanly:
+    make_train_augment falls back to HostAugment instead of crashing, and
+    NativeAugment refuses with a clear error (ADVICE r2: unguarded augment
+    bindings used to raise AttributeError out of runtime.load())."""
+    from weather_unet_tpu.data.transforms import HostAugment
+
+    monkeypatch.setattr(runtime, "augment_available", lambda: False)
+    assert runtime.native_available()        # decode path still fine
+    aug = make_train_augment(32)
+    assert isinstance(aug, HostAugment)
+    with pytest.raises(RuntimeError, match="stale"):
+        NativeAugment(32)
+    with pytest.raises(RuntimeError, match="stale"):
+        runtime.augment_u8(np.zeros((8, 8, 3), np.uint8),
+                           np.eye(2, 3, dtype=np.float32),
+                           np.full(3, -1.0, np.float32), 8)
+
+
 def test_native_vs_pil_distribution(tmp_path, rng):
     """Sanity: native and PIL augment outputs of the same photo are close in
     distribution (mean/std within a few u8 levels) — guards against gross

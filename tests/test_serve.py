@@ -2,6 +2,7 @@
 
 import io
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -100,6 +101,65 @@ def test_warmup_compiles_every_bucket(cp_path):
         server.server_close()
 
 
+def test_warmup_covers_rounded_up_bucket(cp_path):
+    """A non-power-of-two --max_batch still warms the bucket a FULL group
+    pads into: max_batch=3 groups pad to the 4-bucket, so warmup must
+    compile 1, 2 and 4 — a cold top bucket would stall the first full group
+    for an entire compile."""
+    args = build_parser().parse_args([
+        "--cp_path", cp_path, "--host", "127.0.0.1", "--port", "0",
+        "--input_size", "32", "--max_batch", "3"])   # warmup ON
+    server = build_server(args)
+    try:
+        assert server.transfer._translate_u8._cache_size() == 3  # 1, 2, 4
+    finally:
+        server.server_close()
+
+
+def test_timed_out_request_is_dropped(cp_path):
+    """A submit that times out marks its request cancelled; the dispatcher
+    must skip it instead of spending a device dispatch on a client that
+    already got its 500."""
+
+    class SlowTransfer:
+        def __init__(self):
+            self.calls = []
+            self.release = threading.Event()
+
+        def translate_u8(self, x, c):
+            self.calls.append(x.shape[0])
+            assert self.release.wait(30)
+            return np.zeros_like(x)
+
+    st = SlowTransfer()
+    batcher = Batcher(st, max_batch=4, batch_wait_ms=1.0, timeout_s=0.5)
+    errs = {}
+
+    def worker(name, img):
+        try:
+            batcher.submit(img, np.zeros(5, np.float32))
+        except Exception as e:
+            errs[name] = e
+
+    a = threading.Thread(target=worker,
+                         args=("a", np.zeros((8, 8, 3), np.uint8)))
+    a.start()
+    deadline = time.monotonic() + 10
+    while not st.calls and time.monotonic() < deadline:
+        time.sleep(0.01)
+    assert st.calls == [1]          # dispatcher is busy processing A
+    b = threading.Thread(target=worker,
+                         args=("b", np.zeros((8, 8, 3), np.uint8)))
+    b.start()
+    b.join(timeout=10)              # B times out while A holds the device
+    assert isinstance(errs.get("b"), TimeoutError)
+    st.release.set()                # let A finish; dispatcher drains queue
+    a.join(timeout=10)
+    assert isinstance(errs.get("a"), TimeoutError)  # A's client gave up too
+    time.sleep(0.3)                 # give the dispatcher a chance to (not) run B
+    assert st.calls == [1]          # cancelled B was never dispatched
+
+
 def test_batcher_surfaces_errors(cp_path):
     wt = WeatherTransfer.load(cp_path)
     batcher = Batcher(wt, max_batch=2, batch_wait_ms=1.0)
@@ -159,16 +219,13 @@ def test_http_server_end_to_end(cp_path, rng):
         with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
             assert r.status == 200
 
-        # live profiler capture
-        import os
-        import tempfile
-
-        tdir = tempfile.mkdtemp()
-        req = urllib.request.Request(
-            f"{base}/profile?seconds=0.2&dir={tdir}", data=b"", method="POST")
-        with urllib.request.urlopen(req, timeout=60) as r:
-            assert r.status == 200
-        assert os.path.isdir(os.path.join(tdir, "plugins"))
+        # /profile is an operator opt-in: without --profile_dir it must
+        # refuse (it writes files and ties up a handler thread)
+        req = urllib.request.Request(f"{base}/profile?seconds=0.2", data=b"",
+                                     method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 403
     finally:
         server.shutdown()
         thread.join(timeout=10)

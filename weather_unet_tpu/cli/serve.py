@@ -46,6 +46,7 @@ class _Request:
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[np.ndarray] = None    # (H, W, 3) uint8
     error: Optional[str] = None
+    cancelled: bool = False                # client gave up (submit timeout)
 
 
 class Batcher:
@@ -72,6 +73,10 @@ class Batcher:
         req = _Request(image=image, cond=cond)
         self.queue.put(req)
         if not req.event.wait(self.timeout_s):
+            # mark abandoned so the dispatcher drops it from its group
+            # instead of spending a device dispatch on a request whose
+            # client already got a 500
+            req.cancelled = True
             raise TimeoutError("translation timed out")
         if req.error:
             raise RuntimeError(req.error)
@@ -90,6 +95,9 @@ class Batcher:
                     group.append(self.queue.get(timeout=remaining))
                 except queue.Empty:
                     break
+            group = [r for r in group if not r.cancelled]
+            if not group:
+                continue
             t0 = time.perf_counter()
             try:
                 x = np.stack([r.image for r in group])
@@ -165,7 +173,7 @@ def _decode_resize(body: bytes, size: int) -> np.ndarray:
 
 
 def make_handler(batcher: Batcher, classes, num_classes: int, size: int,
-                 quality: int = 95):
+                 quality: int = 95, profile_dir: Optional[str] = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet by default; /stats has the data
             pass
@@ -196,18 +204,25 @@ def make_handler(batcher: Batcher, classes, num_classes: int, size: int,
             if url.path == "/profile":
                 # capture a jax.profiler trace of live traffic (TensorBoard/
                 # Perfetto-viewable) — the observability hook the reference
-                # lacks (SURVEY.md §5)
+                # lacks (SURVEY.md §5).  Off unless --profile_dir is set:
+                # the endpoint writes files and blocks a handler thread, so
+                # it must be an explicit operator opt-in, and traces only
+                # ever land under the server-configured directory (a ?dir=
+                # query arg is ignored — no client-chosen write paths).
+                if profile_dir is None:
+                    self._json(403, {"error": "profiling disabled; start the "
+                                              "server with --profile_dir"})
+                    return
                 try:
                     seconds = float(parse_qs(url.query).get("seconds", ["3"])[0])
                     seconds = min(max(seconds, 0.1), 60.0)
-                    out_dir = parse_qs(url.query).get(
-                        "dir", ["/tmp/wut_profile"])[0]
                     import jax
 
-                    jax.profiler.start_trace(out_dir)
+                    jax.profiler.start_trace(profile_dir)
                     time.sleep(seconds)
                     jax.profiler.stop_trace()
-                    self._json(200, {"trace_dir": out_dir, "seconds": seconds})
+                    self._json(200, {"trace_dir": profile_dir,
+                                     "seconds": seconds})
                 except Exception as e:
                     self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -258,18 +273,21 @@ def build_server(args) -> ThreadingHTTPServer:
     batcher = Batcher(wt, max_batch=args.max_batch,
                       batch_wait_ms=args.batch_wait_ms)
     if args.warmup:
-        # Compile EVERY power-of-two bucket up to max_batch before accepting
-        # traffic — a cold bucket hit mid-serving stalls a whole request
-        # group for the compile time (minutes on a tunneled TPU; measured in
-        # bench_serve.py).
+        # Compile EVERY power-of-two bucket a request group can land in
+        # before accepting traffic — a cold bucket hit mid-serving stalls a
+        # whole request group for the compile time (minutes on a tunneled
+        # TPU; measured in bench_serve.py).  Groups go up to max_batch and
+        # the API pads to the NEXT power of two, so with a non-pow2
+        # max_batch (e.g. 24) the top bucket is the rounded-UP one (32).
         z = np.zeros((args.input_size, args.input_size, 3), np.uint8)
         e0 = np.eye(args.num_classes, dtype=np.float32)[0]
+        top = 1 << max(args.max_batch - 1, 0).bit_length()
         bs = 1
-        while bs <= args.max_batch:
+        while bs <= top:
             wt.translate_u8(np.tile(z, (bs, 1, 1, 1)), np.tile(e0, (bs, 1)))
             bs <<= 1
     handler = make_handler(batcher, args.classes, args.num_classes,
-                           args.input_size)
+                           args.input_size, profile_dir=args.profile_dir)
     server = ThreadingHTTPServer((args.host, args.port), handler)
     server.batcher = batcher     # exposed for tests/inspection
     server.transfer = wt
@@ -292,6 +310,10 @@ def build_parser():
                    help="serve over all visible devices (batch sharded on the "
                         "mesh 'data' axis, params replicated)")
     p.add_argument("--no-warmup", dest="warmup", action="store_false")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="enable POST /profile and write jax.profiler traces "
+                        "under this directory (client-supplied paths are "
+                        "never honored); omit to disable the endpoint")
     p.add_argument("--gpu", type=str, default=None,
                    help="accepted for reference CLI parity; ignored on TPU")
     return p

@@ -295,9 +295,10 @@ class NativeAugment:
                  saturation: float = 0.0, seed: int = 0):
         from weather_unet_tpu import runtime
 
-        if not runtime.native_available():
+        if not runtime.augment_available():
             raise RuntimeError(
-                "native runtime not built (make -C weather_unet_tpu/runtime)")
+                "native augment runtime not built or stale "
+                "(make -C weather_unet_tpu/runtime)")
         self._runtime = runtime
         self.out_size = out_size
         self.degrees = degrees
@@ -372,7 +373,7 @@ def make_train_augment(out_size: int, *, resized_crop: bool = False,
 
     if prefer_native is None:
         prefer_native = (os.environ.get("WUT_NATIVE_AUGMENT", "1") != "0"
-                         and runtime.native_available())
+                         and runtime.augment_available())
     kw = dict(resized_crop=resized_crop, brightness=brightness,
               contrast=contrast, saturation=saturation, seed=seed)
     if prefer_native:

@@ -43,14 +43,17 @@ def load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    lib.wut_decode_file.argtypes = [ctypes.c_char_p, ctypes.c_int,
-                                    ctypes.POINTER(ctypes.c_uint8)]
-    lib.wut_decode_file.restype = ctypes.c_int
-    lib.wut_decode_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
-        ctypes.c_int]
-    lib.wut_decode_batch.restype = ctypes.c_int
+    try:
+        lib.wut_decode_file.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                        ctypes.POINTER(ctypes.c_uint8)]
+        lib.wut_decode_file.restype = ctypes.c_int
+        lib.wut_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int]
+        lib.wut_decode_batch.restype = ctypes.c_int
+    except AttributeError:  # .so without even the core entries: unusable
+        return None
     try:
         lib.wut_decode_bytes.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
@@ -60,25 +63,40 @@ def load():
         pass
     f32p = ctypes.POINTER(ctypes.c_float)
     u8p = ctypes.POINTER(ctypes.c_uint8)
-    lib.wut_make_affine.argtypes = [
-        ctypes.c_int, ctypes.c_int, f32p, ctypes.c_float, ctypes.c_int,
-        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-        ctypes.c_int, ctypes.c_int, f32p]
-    lib.wut_make_affine.restype = None
-    lib.wut_augment_u8.argtypes = [
-        u8p, ctypes.c_int, ctypes.c_int, f32p, f32p, ctypes.c_int, u8p]
-    lib.wut_augment_u8.restype = ctypes.c_int
-    lib.wut_decode_augment_file.argtypes = [
-        ctypes.c_char_p, f32p, f32p, ctypes.c_float, ctypes.c_int,
-        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
-        ctypes.c_int, ctypes.c_int, u8p]
-    lib.wut_decode_augment_file.restype = ctypes.c_int
+    try:
+        lib.wut_make_affine.argtypes = [
+            ctypes.c_int, ctypes.c_int, f32p, ctypes.c_float, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, f32p]
+        lib.wut_make_affine.restype = None
+        lib.wut_augment_u8.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, f32p, f32p, ctypes.c_int, u8p]
+        lib.wut_augment_u8.restype = ctypes.c_int
+        lib.wut_decode_augment_file.argtypes = [
+            ctypes.c_char_p, f32p, f32p, ctypes.c_float, ctypes.c_int,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int, ctypes.c_int, u8p]
+        lib.wut_decode_augment_file.restype = ctypes.c_int
+    except AttributeError:  # stale .so from before the augment entries:
+        pass                # decode still works; augment_available() is False
     _lib = lib
     return _lib
 
 
 def native_available() -> bool:
     return load() is not None
+
+
+_AUGMENT_SYMBOLS = ("wut_make_affine", "wut_augment_u8",
+                    "wut_decode_augment_file")
+
+
+def augment_available() -> bool:
+    """True when the built .so exports the fused-augment entry points (a
+    stale pre-augment build decodes but can't augment — callers must fall
+    back to the PIL ``HostAugment`` path)."""
+    lib = load()
+    return lib is not None and all(hasattr(lib, s) for s in _AUGMENT_SYMBOLS)
 
 
 def decode_file(path: str, out_size: int) -> Optional[np.ndarray]:
@@ -113,8 +131,10 @@ def make_affine(h: int, w: int, uniforms: np.ndarray, *, degrees: float,
     """Native affine-from-uniforms (mirrors
     ``data.transforms.affine_from_uniforms``); returns a (2, 3) float32 map."""
     lib = load()
-    if lib is None:
-        raise RuntimeError("native loader not built; run runtime.build()")
+    if not augment_available():
+        raise RuntimeError(
+            "native augment entries unavailable (library unbuilt or a stale "
+            "pre-augment .so); run runtime.build()")
     u = np.ascontiguousarray(uniforms, dtype=np.float32)
     mat = np.empty(6, dtype=np.float32)
     lib.wut_make_affine(
@@ -131,8 +151,10 @@ def augment_u8(image_u8: np.ndarray, mat: np.ndarray, jitter: np.ndarray,
     """Native affine resample + color jitter of a decoded uint8 HWC image
     (host twin of the device kernel in ``data/transforms.py``)."""
     lib = load()
-    if lib is None:
-        raise RuntimeError("native loader not built; run runtime.build()")
+    if not augment_available():
+        raise RuntimeError(
+            "native augment entries unavailable (library unbuilt or a stale "
+            "pre-augment .so); run runtime.build()")
     src = np.ascontiguousarray(image_u8, dtype=np.uint8)
     h, w, c = src.shape
     if c != 3:
@@ -160,8 +182,10 @@ def decode_augment_file(path: str, uniforms: np.ndarray, jitter: np.ndarray, *,
     decode failure (caller applies its skip-on-corrupt policy).
     """
     lib = load()
-    if lib is None:
-        raise RuntimeError("native loader not built; run runtime.build()")
+    if not augment_available():
+        raise RuntimeError(
+            "native augment entries unavailable (library unbuilt or a stale "
+            "pre-augment .so); run runtime.build()")
     u = np.ascontiguousarray(uniforms, dtype=np.float32)
     j = np.ascontiguousarray(jitter, dtype=np.float32)
     out = np.empty((out_size, out_size, 3), dtype=np.uint8)
