@@ -100,6 +100,70 @@ def test_gan_trainer_smoke(tmp_path):
     assert int(tr2.state.global_step) >= 2
 
 
+def test_gan_trainer_nan_guard(tmp_path):
+    """nan_guard: a diverged (non-finite) state at the eval cadence rolls
+    back to the newest checkpoint on a re-seeded RNG stream instead of
+    checkpointing the poisoned state; bounded by max_rollbacks."""
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    rng = np.random.default_rng(0)
+
+    class FakeLoader:
+        def __iter__(self):
+            for _ in range(2):
+                yield (rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+                       rng.standard_normal((4, 5)).astype(np.float32))
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    cfg = GanConfig(input_size=32, batch_size=4, num_epoch=1)
+    tr = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path), name="g",
+        log_dir=str(tmp_path / "runs"), nan_guard=True)
+    tr.EVAL_PER_STEP = 2
+    tr.DISPLAY_PER_STEP = 2
+    tr.train_epoch(FakeLoader(), FakeLoader())   # checkpoint at step 2
+    cp_path = ckpt.latest_checkpoint(str(tmp_path), "g")
+    assert cp_path is not None and int(tr.state.global_step) == 2
+
+    # inject a blow-up as if steps 3-4 NaN'd
+    poison = jax.tree.map(lambda a: jnp.full_like(a, jnp.nan),
+                          tr.state.gen.params)
+    tr.state = tr.state.replace(
+        gen=tr.state.gen.replace(params=poison), global_step=4)
+    tr._gstep = 4
+    tr._last_metrics = {"d_loss": jnp.float32(np.nan)}
+    key_before = np.asarray(jax.random.key_data(tr._base_key)).copy()
+
+    assert tr._maybe_rollback()
+    assert tr._rollbacks == 1
+    assert tr._gstep == 2                       # back at the checkpoint
+    leaf = np.asarray(jax.tree.leaves(tr.state.gen.params)[0])
+    assert np.isfinite(leaf).all()              # weights restored
+    assert tr._last_metrics is None             # NaNs not logged
+    key_after = np.asarray(jax.random.key_data(tr._base_key))
+    assert not np.array_equal(key_before, key_after)   # retry re-seeded
+    # the poisoned state was never saved
+    assert ckpt.latest_checkpoint(str(tmp_path), "g") == cp_path
+
+    # finite metrics: no-op
+    tr._last_metrics = {"d_loss": jnp.float32(1.0)}
+    assert not tr._maybe_rollback()
+
+    # budget exhausted: warn-only
+    tr._last_metrics = {"d_loss": jnp.float32(np.nan)}
+    tr._rollbacks = tr.max_rollbacks
+    assert not tr._maybe_rollback()
+
+    # guard off (default): never rolls back
+    tr2 = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path / "off"), name="g2",
+        log_dir=str(tmp_path / "runs2"))
+    tr2._last_metrics = {"d_loss": jnp.float32(np.nan)}
+    assert not tr2._maybe_rollback()
+
+
 def test_gan_trainer_gd_ratio(tmp_path):
     """GD_train_ratio=2: G updates only on even global steps
     (t_est_train.py:390: ``global_step % GD_train_ratio == 0``)."""

@@ -16,7 +16,6 @@ Forward functions are jitted once per input shape; bf16 serving via
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import numpy as np
@@ -34,25 +33,17 @@ class WeatherTransfer:
     coupling in eval mode).
     """
 
-    def __init__(self, model, variables, plan=None):
+    def __init__(self, model, variables, plan=None, aot_cache=None):
         self.model = model
         self.plan = plan
         if plan is not None:
             variables = jax.device_put(variables, plan.replicated())
         self.variables = variables
-        jit_kw = {}
-        if plan is not None:
-            bsh = plan.batch()
-            jit_kw = dict(in_shardings=(bsh, bsh), out_shardings=bsh)
 
-        @functools.partial(jax.jit, **jit_kw)
-        def _translate(x, c):
+        def _fwd(variables, x, c):
             return model.apply(variables, x, c)
 
-        self._translate = _translate
-
-        @functools.partial(jax.jit, **jit_kw)
-        def _translate_u8(x_u8, c):
+        def _fwd_u8(variables, x_u8, c):
             # normalize exactly like data.transforms.normalize_batch and
             # denormalize exactly like to_uint8, but ON DEVICE: the wire
             # carries uint8 both ways (4x less host<->device traffic than
@@ -62,11 +53,7 @@ class WeatherTransfer:
             y = model.apply(variables, (x - 0.5) / 0.5, c)
             return ((y.astype(jnp.float32) + 1.0) * 127.5).clip(0, 255).astype(jnp.uint8)
 
-        self._translate_u8 = _translate_u8
-
-        @functools.partial(
-            jax.jit, **({"in_shardings": (plan.batch(),)} if plan else {}))
-        def _translate_all(x):
+        def _fwd_all(variables, x):
             eye = jnp.eye(model.num_classes, dtype=x.dtype)
 
             def per_class(onehot):
@@ -75,17 +62,42 @@ class WeatherTransfer:
 
             return jax.vmap(per_class)(eye)
 
-        self._translate_all = _translate_all
+        # Weights are ARGUMENTS of the compiled functions, not closure
+        # captures: captured arrays get baked into the program as constants,
+        # which would key the AOT disk cache (core/aot.py) to one checkpoint
+        # and bloat every serialized executable with the weights.
+        from weather_unet_tpu.core.aot import AotCache, AotJit, BoundFn
+
+        vsh = plan.replicated() if plan is not None else None
+        bsh = plan.batch() if plan is not None else None
+        kw2 = (dict(in_shardings=(vsh, bsh, bsh), out_shardings=bsh)
+               if plan is not None else None)
+        kw1 = (dict(in_shardings=(vsh, bsh)) if plan is not None else None)
+        if aot_cache is not None:
+            self.aot = (aot_cache if isinstance(aot_cache, AotCache)
+                        else AotCache(aot_cache))
+            wrap = lambda fn, kw: AotJit(fn, self.aot, kw)  # noqa: E731
+        else:
+            self.aot = None
+            wrap = lambda fn, kw: jax.jit(fn, **(kw or {}))  # noqa: E731
+        self._translate = BoundFn(wrap(_fwd, kw2), variables)
+        self._translate_u8 = BoundFn(wrap(_fwd_u8, kw2), variables)
+        self._translate_all = BoundFn(wrap(_fwd_all, kw1), variables)
 
     @classmethod
     def load(cls, cp_path: str, num_classes: int = 5, dtype=jnp.float32,
-             plan=None):
-        """Load from a reference ``.pt`` GAN bundle or our msgpack checkpoint."""
+             plan=None, aot_cache=None):
+        """Load from a reference ``.pt`` GAN bundle or our msgpack checkpoint.
+
+        ``aot_cache``: directory (or :class:`~weather_unet_tpu.core.aot.
+        AotCache`) for serialized executables — a restarted process loads
+        compiled programs from disk instead of re-paying XLA compilation
+        (minutes per bucket on a tunneled TPU; see ``core/aot.py``)."""
         from weather_unet_tpu.cli.common import load_transfer
 
         model, variables = load_transfer(cp_path, num_classes=num_classes,
                                          dtype=dtype)
-        return cls(model, variables, plan=plan)
+        return cls(model, variables, plan=plan, aot_cache=aot_cache)
 
     def translate(self, images, conditions, *, bucket: bool = True):
         """(B,H,W,3) in [-1,1] + (B,num_classes) conditions -> translated.

@@ -269,7 +269,8 @@ def build_server(args) -> ThreadingHTTPServer:
 
         plan = make_mesh()   # params replicated once, batches over 'data'
     wt = WeatherTransfer.load(args.cp_path, num_classes=args.num_classes,
-                              dtype=dtype, plan=plan)
+                              dtype=dtype, plan=plan,
+                              aot_cache=args.aot_cache)
     batcher = Batcher(wt, max_batch=args.max_batch,
                       batch_wait_ms=args.batch_wait_ms)
     if args.warmup:
@@ -286,6 +287,11 @@ def build_server(args) -> ThreadingHTTPServer:
         while bs <= top:
             wt.translate_u8(np.tile(z, (bs, 1, 1, 1)), np.tile(e0, (bs, 1)))
             bs <<= 1
+    if wt.aot is not None:
+        s = wt.aot.stats
+        print(f"aot cache: {s['hits']} loaded from disk "
+              f"({s['load_s']:.1f}s), {s['misses']} compiled "
+              f"({s['compile_s']:.1f}s)")
     handler = make_handler(batcher, args.classes, args.num_classes,
                            args.input_size, profile_dir=args.profile_dir)
     server = ThreadingHTTPServer((args.host, args.port), handler)
@@ -310,6 +316,11 @@ def build_parser():
                    help="serve over all visible devices (batch sharded on the "
                         "mesh 'data' axis, params replicated)")
     p.add_argument("--no-warmup", dest="warmup", action="store_false")
+    p.add_argument("--aot_cache", type=str, default=None,
+                   help="directory for serialized compiled executables; a "
+                        "server restart then loads every warmed batch bucket "
+                        "from disk instead of re-paying XLA compilation "
+                        "(core/aot.py)")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="enable POST /profile and write jax.profiler traces "
                         "under this directory (client-supplied paths are "

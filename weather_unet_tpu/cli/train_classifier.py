@@ -28,6 +28,9 @@ def build_parser():
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--augmentation", action="store_true")
     p.add_argument("--pre_trained", action="store_true")
+    p.add_argument("--aot_cache", type=str, default=None,
+                   help="directory for serialized compiled step "
+                        "executables (core/aot.py)")
     return p
 
 
@@ -88,7 +91,8 @@ def main(argv=None):
         train_loader, test_loader, state=state, batch_size=args.batch_size,
         num_epoch=args.num_epoch,
         writer=writer, input_size=args.input_size, save_dir=args.save_path, name=args.name,
-        eval_per_iter=500, target_dtype=jnp.int32)
+        eval_per_iter=500, target_dtype=jnp.int32,
+        aot_cache=args.aot_cache)
     print("Done: training")
 
 

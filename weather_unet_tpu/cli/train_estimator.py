@@ -29,6 +29,9 @@ def build_parser():
     p.add_argument("--multi", action="store_true",
                    help="parity flag; data-parallel over the mesh is always on")
     p.add_argument("--augmentation", action="store_true")
+    p.add_argument("--aot_cache", type=str, default=None,
+                   help="directory for serialized compiled step "
+                        "executables (core/aot.py)")
     p.add_argument("--pre_trained", action="store_true",
                    help="freeze backbone through layer3 (estimator.py:145-153)")
     return p
@@ -103,7 +106,8 @@ def main(argv=None):
         model, make_estimator_step(model, mask), make_eval_metrics(model, "estimator"),
         train_loader, test_loader, state=state, batch_size=args.batch_size,
         num_epoch=args.num_epoch,
-        writer=writer, input_size=args.input_size, save_dir=args.save_path, name=args.name)
+        writer=writer, input_size=args.input_size, save_dir=args.save_path, name=args.name,
+        aot_cache=args.aot_cache)
     print("Done: training")
 
 

@@ -35,6 +35,14 @@ def build_parser():
     p.add_argument("--augmentation", action="store_true")
     p.add_argument("--image_only", action="store_true")
     p.add_argument("--export_torch", action="store_true")
+    p.add_argument("--nan_guard", action="store_true",
+                   help="on non-finite metrics, roll back to the newest "
+                        "checkpoint and retry with a re-seeded RNG stream "
+                        "(bounded; see WeatherTransferTrainer)")
+    p.add_argument("--aot_cache", type=str, default=None,
+                   help="directory for serialized compiled step executables; "
+                        "a restarted run skips the multi-minute XLA step "
+                        "compile (core/aot.py)")
     return p
 
 
@@ -115,7 +123,8 @@ def main(argv=None):
     trainer = WeatherTransferTrainer(
         cfg, est_apply, save_dir=args.save_dir, name=args.name,
         log_dir=args.log_dir, augment=args.augmentation,
-        export_torch=args.export_torch)
+        export_torch=args.export_torch, nan_guard=args.nan_guard,
+        aot_cache=args.aot_cache)
     trainer.fit(train_loader, random_loader, test_batches=test_batches,
                 labeled=True)
 

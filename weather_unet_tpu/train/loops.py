@@ -45,7 +45,9 @@ class WeatherTransferTrainer:
                  log_dir: str = "runs", augment: bool = False,
                  device_augment: bool = False,
                  plan: Optional[MeshPlan] = None, seed: int = 0,
-                 export_torch: bool = False, profile_dir: Optional[str] = None):
+                 export_torch: bool = False, profile_dir: Optional[str] = None,
+                 nan_guard: bool = False, max_rollbacks: int = 3,
+                 aot_cache: Optional[str] = None):
         self.cfg = cfg
         self.name = name
         self.save_dir = save_dir
@@ -94,8 +96,27 @@ class WeatherTransferTrainer:
             in_shardings=(rsh, bsh, bsh, bsh, bsh, rsh, rsh),
             out_shardings=(rsh, rsh),
             donate_argnums=(0,))  # state buffers reused in place
-        self._step_dg = jax.jit(functools.partial(fused, do_g=True), **shardings)
-        self._step_d = jax.jit(functools.partial(fused, do_g=False), **shardings)
+        if aot_cache is not None:
+            # Serialized-executable tier: a restarted run loads the step
+            # programs from disk instead of re-paying XLA compilation (the
+            # dominant cold-start term for the GAN step — ~25 min over the
+            # tunnel; the persistent XLA cache skips TPU executables.
+            # bench_aot.py: AOT removes the compile but not the tunnel's
+            # ~4 min constant per-process program-load).
+            from weather_unet_tpu.core.aot import AotCache, AotJit
+
+            self.aot = (aot_cache if isinstance(aot_cache, AotCache)
+                        else AotCache(aot_cache))
+            self._step_dg = AotJit(functools.partial(fused, do_g=True),
+                                   self.aot, shardings)
+            self._step_d = AotJit(functools.partial(fused, do_g=False),
+                                  self.aot, shardings)
+        else:
+            self.aot = None
+            self._step_dg = jax.jit(functools.partial(fused, do_g=True),
+                                    **shardings)
+            self._step_d = jax.jit(functools.partial(fused, do_g=False),
+                                   **shardings)
         self._eval = jax.jit(make_eval_step(self.gen, self.disc, est_apply, cfg))
 
         self.state = jax.device_put(self.state, rsh)
@@ -113,6 +134,9 @@ class WeatherTransferTrainer:
         self._all_step = 0
         self._window_t0 = None
         self._window_steps = 0
+        self.nan_guard = nan_guard
+        self.max_rollbacks = max_rollbacks
+        self._rollbacks = 0
 
     # ------------------------------------------------------------- state io
     def _resume(self):
@@ -186,12 +210,57 @@ class WeatherTransferTrainer:
             self._window_steps += 1
 
             if gstep % self.EVAL_PER_STEP == 0:
+                # failure detection BEFORE the save: a diverged state must
+                # not become the newest checkpoint (it would poison the
+                # rollback target and auto-resume)
+                if self._maybe_rollback():
+                    base_key = self._base_key   # rollback re-seeded it
+                    continue
                 self._save()
                 if test_batches is not None:
                     self.evaluate(test_batches)
             if gstep % self.DISPLAY_PER_STEP == 0:
                 self.update_summary()
         self.state = self.state.replace(epoch=self.state.epoch + 1)
+
+    def _maybe_rollback(self) -> bool:
+        """Failure recovery for long unattended runs: when the latest step
+        metrics are non-finite (bf16 overflow, GAN blow-up), restore the
+        newest (pre-divergence) checkpoint and continue on a re-seeded RNG
+        stream so the retry draws different noise/dropout instead of
+        replaying the identical diverging trajectory.  Bounded by
+        ``max_rollbacks``; off unless ``nan_guard=True`` (then the existing
+        summary-cadence warning is the only signal).  The data stream is NOT
+        rewound — training continues from the current loader position, like
+        a relaunch under the reference's auto-resume (t_est_train.py:151-163)
+        would.  Returns True when a rollback happened."""
+        if not self.nan_guard or self._last_metrics is None:
+            return False
+        vals = {k: float(v) for k, v in self._last_metrics.items()}
+        bad = [k for k, v in vals.items() if not np.isfinite(v)]
+        if not bad:
+            return False
+        path = ckpt.latest_checkpoint(self.save_dir, self.name)
+        if path is None or self._rollbacks >= self.max_rollbacks:
+            print(f"WARNING: non-finite metrics {bad} at step {self._gstep} "
+                  f"and no rollback available "
+                  f"(checkpoint={path}, rollbacks={self._rollbacks}/"
+                  f"{self.max_rollbacks})", flush=True)
+            return False
+        self._rollbacks += 1
+        rsh = self.plan.replicated()
+        self.state = jax.device_put(
+            ckpt.restore_checkpoint(path, self.state), rsh)
+        self._gstep = int(self.state.global_step)
+        self._base_key = jax.device_put(
+            jax.random.fold_in(self._base_key, self._rollbacks), rsh)
+        self._last_metrics = None    # don't log the diverged values
+        self._window_t0 = None       # throughput window spanned the restore
+        self._window_steps = 0
+        print(f"nan_guard: non-finite metrics {bad} — rolled back to {path} "
+              f"(step {self._gstep}, retry {self._rollbacks}/"
+              f"{self.max_rollbacks}, re-seeded)", flush=True)
+        return True
 
     def evaluate(self, test_batches):
         """Reference ``evaluation()`` (``t_est_train.py:285-334``) on two
@@ -259,7 +328,8 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                      input_size: int = 224,
                      save_dir: str = "cp", name: str = "model",
                      eval_per_iter: int = 100, save_per_epoch: int = 5,
-                     target_dtype=jnp.float32, seed: int = 0):
+                     target_dtype=jnp.float32, seed: int = 0,
+                     aot_cache: Optional[str] = None):
     """Shared classifier/estimator loop (reference ``classifier.py:132-182``,
     ``estimator.py:170-227``): eval sweep every ``eval_per_iter`` iterations,
     checkpoint every ``save_per_epoch`` epochs.
@@ -284,8 +354,16 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
         k = jax.random.fold_in(base_key, stepno)
         return step_fn(state, prep(k, x_u8), targets)
 
-    jstep = jax.jit(fused, in_shardings=(rsh, bsh, bsh, rsh, rsh),
-                    out_shardings=(rsh, rsh))
+    step_kw = dict(in_shardings=(rsh, bsh, bsh, rsh, rsh),
+                   out_shardings=(rsh, rsh))
+    if aot_cache is not None:   # serialized-executable tier (core/aot.py)
+        from weather_unet_tpu.core.aot import AotCache, AotJit
+
+        cache = (aot_cache if isinstance(aot_cache, AotCache)
+                 else AotCache(aot_cache))
+        jstep = AotJit(fused, cache, step_kw)
+    else:
+        jstep = jax.jit(fused, **step_kw)
     jeval = jax.jit(eval_fn, in_shardings=(rsh, rsh, bsh, bsh), out_shardings=rsh)
     base_key = jax.device_put(jax.random.key(seed), rsh)
     state = jax.device_put(state, rsh)
