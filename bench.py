@@ -23,6 +23,7 @@ MAE target even in bf16.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -47,11 +48,24 @@ def main():
     ).astype(jnp.bfloat16)
     variables = model.init(jax.random.key(0), images[:1], conds[:1])
 
-    @jax.jit
-    def translate(params, x, c):
+    def fwd(params, x, c):
         return model.apply({"params": params}, x, c)
 
     params = variables["params"]
+
+    # AOT tier: the persistent XLA cache doesn't serialize executables on
+    # this TPU backend, so a fresh bench process pays the ~60 s compile every
+    # time; the serialized-executable cache (core/aot.py) cuts repeat runs to
+    # a ~0.4 s deserialize (the tunnel's per-process program-load remains).
+    # Any cache problem falls back to a plain jit.
+    try:
+        from weather_unet_tpu.core.aot import AotCache, AotJit
+
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "weather_unet_tpu_aot")
+        translate = AotJit(fwd, AotCache(cache_dir))
+    except Exception:
+        translate = jax.jit(fwd)
 
     def sync(x):
         # On the axon tunnel block_until_ready can return before remote

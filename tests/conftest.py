@@ -19,6 +19,13 @@ import jax
 # (must happen before the backend initializes).
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache (CPU executables DO serialize, unlike TPU ones):
+# the suite's expensive compiles — sharded GAN steps, parity graphs — are
+# reused across runs.  Only >=5 s compiles are cached (core/profiling.py).
+from weather_unet_tpu.core.profiling import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

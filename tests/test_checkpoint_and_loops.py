@@ -32,6 +32,47 @@ def test_latest_checkpoint_empty(tmp_path):
     assert ckpt.latest_checkpoint(str(tmp_path), "nope") is None
 
 
+def test_async_checkpointer_matches_sync(tmp_path):
+    cfg = GanConfig(input_size=32)
+    gen, disc, state = build_gan_state(cfg, jax.random.key(0))
+    sync_path = ckpt.save_checkpoint(str(tmp_path), "sync", 7, state)
+    with ckpt.AsyncCheckpointer() as ac:
+        ac.save(str(tmp_path), "async", 7, state)
+        async_path = ac.wait()
+    assert async_path.endswith("ckpt_s0000000007.msgpack")
+    with open(sync_path, "rb") as f1, open(async_path, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_async_checkpointer_survives_donation(tmp_path):
+    """The device-side snapshot must keep the saved values alive even when
+    the caller's buffers are donated (invalidated) right after save() —
+    exactly what the train loops do with donate_argnums=(0,)."""
+    x = jnp.arange(16.0)
+    tree = {"w": x}
+    ac = ckpt.AsyncCheckpointer()
+    ac.save(str(tmp_path), "d", 1, tree)
+
+    clobber_donated = jax.jit(lambda a: a * 0 - 5.0, donate_argnums=(0,))
+    _ = clobber_donated(x)          # x's buffer is now deleted
+    path = ac.wait()
+    restored = ckpt.restore_checkpoint(path, {"w": jnp.zeros(16)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(16.0, dtype=np.float32))
+    ac.close()
+
+
+def test_async_checkpointer_propagates_write_errors(tmp_path):
+    ac = ckpt.AsyncCheckpointer()
+    (tmp_path / "x").write_bytes(b"")   # a FILE where the run dir must go
+    try:
+        ac.save(str(tmp_path), "x", 1, {"w": jnp.ones(4)})
+        with pytest.raises(OSError):    # NotADirectoryError/FileExistsError
+            ac.wait()
+    finally:
+        ac.close()
+
+
 def test_export_torch_gan_loads_in_torch(tmp_path):
     import torch
 

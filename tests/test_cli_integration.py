@@ -249,7 +249,7 @@ def test_train_estimator_cli(world, tmp_path):
         "--name", "est2",
         "--save_path", str(tmp_path / "cp"), "--log_dir", str(tmp_path / "runs"),
         "--input_size", "32", "--batch_size", "4", "--num_epoch", "1",
-        "--num_workers", "2"])
+        "--num_workers", "2", "--dtype", "bf16"])   # also: bf16 flag plumbing
     from weather_unet_tpu.train import checkpoint as ckpt2
 
     assert ckpt2.latest_checkpoint(str(tmp_path / "cp"), "est2") is not None
@@ -288,5 +288,5 @@ def test_train_transfer_est_image_only(world, tmp_path):
         "--estimator_path", world["est"], "--name", "io", "--image_only",
         "--save_dir", str(tmp_path / "cp"), "--log_dir", str(tmp_path / "runs"),
         "--input_size", "32", "--batch_size", "4", "--num_epoch", "1",
-        "--num_workers", "2"])
+        "--num_workers", "2", "--dtype", "bf16"])   # also: bf16 flag plumbing
     assert (tmp_path / "runs").exists()

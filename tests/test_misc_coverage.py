@@ -135,3 +135,28 @@ def test_conditional_norm_module(rng):
                        training=True, momentum=0.1)
     np.testing.assert_allclose(np.asarray(out),
                                ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+def test_compilation_cache_is_host_scoped(tmp_path):
+    """XLA's persistent-cache key doesn't cover CPU machine features; the
+    cache dir must embed a host-ISA fingerprint so a container migrating CPU
+    types misses cleanly instead of loading SIGILL-prone executables."""
+    import jax
+
+    from weather_unet_tpu.core import profiling
+
+    fp = profiling._host_fingerprint()
+    assert len(fp) == 12 and fp == profiling._host_fingerprint()
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        profiling.enable_compilation_cache(str(tmp_path / "c"))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "c" / fp)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_aot_fingerprint_includes_host_isa_on_cpu():
+    from weather_unet_tpu.core.aot import _backend_fingerprint
+    from weather_unet_tpu.core.profiling import _host_fingerprint
+
+    assert _host_fingerprint() in _backend_fingerprint()

@@ -1,0 +1,142 @@
+"""Real multi-process (multi-host emulation) tests.
+
+``parallel/launch.py`` spawns 2 OS processes, each with 4 virtual CPU
+devices, joined by ``jax.distributed`` into one 8-device runtime with gloo
+cross-process collectives — the closest a single node gets to validating
+the multi-host path (DCN seam, SURVEY.md §2.9) without a pod.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from weather_unet_tpu.parallel import launch
+
+WORKER = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+
+
+def test_process_slice_single_process():
+    # single-process: the slice is the whole batch
+    assert launch.process_slice(16) == slice(0, 16)
+
+
+def test_is_multiprocess_env(monkeypatch):
+    monkeypatch.delenv("WUT_NUM_PROCESSES", raising=False)
+    assert not launch.is_multiprocess()
+    monkeypatch.setenv("WUT_NUM_PROCESSES", "2")
+    assert launch.is_multiprocess()
+
+
+def test_launcher_cli_requires_command():
+    with pytest.raises(SystemExit):
+        launch.main(["-n", "2", "--"])
+
+
+def test_two_process_global_step(tmp_path):
+    """2 procs x 4 virtual CPU devices run one data-parallel Adam step with
+    host-sharded input assembly; both ranks must agree with each other and
+    with the same step computed single-process on this session's 8-device
+    mesh."""
+    env = dict(os.environ)
+    env["WUT_TEST_OUT"] = str(tmp_path)
+    env["WUT_TEST_GAN"] = "1"           # also run the real GAN trainer 2-proc
+    env["WUT_TEST_SUP"] = "1"           # ...and the supervised loop (lockstep)
+    env.pop("XLA_FLAGS", None)          # worker sets its own device count
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    rc = launch.launch_local(
+        2, [sys.executable, WORKER], cpu_devices=4, env=env, timeout=900)
+    assert rc == 0
+
+    reports = []
+    for rank in range(2):
+        with open(tmp_path / f"rank{rank}.json") as f:
+            reports.append(json.load(f))
+    assert [r["rank"] for r in reports] == [0, 1]
+    assert all(r["n_processes"] == 2 for r in reports)
+    assert all(r["n_devices"] == 8 for r in reports)
+    # both controllers observe the same replicated result
+    assert reports[0]["loss"] == pytest.approx(reports[1]["loss"], abs=0)
+    assert reports[0]["w_sum"] == pytest.approx(reports[1]["w_sum"], abs=0)
+    # the real GAN trainer ran 2 steps through process-sharded loaders and
+    # both controllers agree on the replicated metrics
+    g0, g1 = reports[0]["gan_metrics"], reports[1]["gan_metrics"]
+    assert g0 and g0.keys() == g1.keys()
+    for k in g0:
+        assert g0[k] == pytest.approx(g1[k], rel=1e-6), k
+    # the supervised loop (lockstep-compiled step+eval jits) also ran and
+    # both controllers hold identical replicated params
+    assert reports[0]["sup_param_sum"] == pytest.approx(
+        reports[1]["sup_param_sum"], abs=0)
+
+    # single-process reference on this session's own 8-device mesh
+    import mp_worker
+    from weather_unet_tpu.data.pipeline import assemble_global_batch
+    from weather_unet_tpu.parallel.mesh import make_mesh
+
+    plan = make_mesh()
+    x, y = mp_worker.global_batch()
+    bsh = plan.batch()
+    loss, params = mp_worker.run_step(
+        plan, assemble_global_batch(bsh, x), assemble_global_batch(bsh, y))
+    assert reports[0]["loss"] == pytest.approx(float(loss), rel=1e-6)
+    assert reports[0]["w_sum"] == pytest.approx(
+        float(np.asarray(params["w"]).sum()), rel=1e-6)
+
+
+def test_lockstep_compile_single_process_is_identity():
+    import jax
+
+    j = jax.jit(lambda x: x + 1)
+    assert launch.lockstep_compile(j, "t") is j
+
+
+def test_lockstep_wrapper_protocol(monkeypatch):
+    """Drive LockstepCompile's first-call protocol directly (single-process,
+    barrier stubbed): compile-without-execute, rank-0-first barrier order,
+    then fallback-to-jit on a shape change."""
+    import jax
+    import numpy as np
+
+    barriers = []
+    monkeypatch.setattr(launch, "barrier",
+                        lambda name, timeout_s=1800.0: barriers.append(name))
+    w = launch.LockstepCompile(jax.jit(lambda x: x * 2), "proto")
+    w._pending = True            # what a multi-process rank 0 would see
+    x = np.arange(4.0, dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(w(x)), x * 2)
+    # rank 0: compile first, then release peers, then the ready barrier
+    assert [b.split(":")[0] for b in barriers] == ["compile0", "ready"]
+    assert w._compiled is not None
+    # steady state reuses the kept executable; a different shape falls back
+    y = np.arange(6.0, dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(w(y)), y * 2)
+    assert len(barriers) == 2    # no further rendezvous
+
+
+def test_lockstep_names_unique_per_instance():
+    import jax
+
+    a = launch.LockstepCompile(jax.jit(lambda x: x), "dup")
+    b = launch.LockstepCompile(jax.jit(lambda x: x), "dup")
+    assert a._name != b._name
+
+
+def test_launch_local_propagates_failure(tmp_path):
+    rc = launch.launch_local(
+        2, [sys.executable, "-c", "import sys, os; "
+            "sys.exit(int(os.environ['WUT_PROCESS_ID']))"],
+        timeout=60)
+    assert rc == 1
+
+
+def test_worker_refuses_single_process():
+    env = dict(os.environ)
+    env.pop("WUT_NUM_PROCESSES", None)
+    res = subprocess.run([sys.executable, WORKER], env=env,
+                         capture_output=True, timeout=120)
+    assert res.returncode != 0

@@ -49,6 +49,42 @@ def test_train_supervised_classifier(tmp_path, rng):
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
 
 
+def test_train_supervised_auto_resume(tmp_path, rng, capsys):
+    """A relaunch restores the newest checkpoint — params, batch stats, AND
+    optimizer moments — and skips completed epochs (the reference's
+    ``classifier.py`` restarts cold every launch; auto-resume matches the
+    GAN trainer's semantics, ``t_est_train.py:151-163``)."""
+    model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    mk_state = lambda: TrainState.create(
+        variables["params"], torch_adam(1e-4, weight_decay=1e-4),
+        extra=variables["batch_stats"])
+    run = lambda num_epoch: train_supervised(
+        model, make_classifier_step(model), make_eval_metrics(model, "classifier"),
+        lambda: FakeLoader(rng), lambda: FakeLoader(rng, n_batches=1),
+        state=mk_state(), num_epoch=num_epoch, writer=None,
+        augment_cfg=AugmentConfig(out_size=32),
+        save_dir=str(tmp_path), name="res", eval_per_iter=10,
+        save_per_epoch=1, target_dtype=jnp.int32)
+
+    first = run(2)            # epochs 0,1; cadence save stores epoch=2
+    capsys.readouterr()
+    second = run(3)           # must resume at epoch 2 and run exactly one
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "at step 4" in out
+    assert int(second.step) - 0 == 2       # fresh state object: 1 epoch x 2 steps
+    # the resumed run continued from the first run's weights, not from init
+    cp = ckpt.latest_checkpoint(str(tmp_path), "res")
+    restored = ckpt.restore_checkpoint(cp, None)
+    assert int(restored["global_step"]) == 6 and int(restored["epoch"]) == 3
+    assert "opt_state" in restored          # Adam moments survive relaunches
+    # re-running with everything already done is a no-op resume
+    third = run(3)
+    out = capsys.readouterr().out
+    assert "resumed from" in out
+    assert int(third.step) == 0             # range(3, 3): no epochs left
+
+
 def test_pretrained_mask_freezes_backbone(rng):
     model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))

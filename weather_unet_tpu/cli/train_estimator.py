@@ -34,11 +34,16 @@ def build_parser():
                         "executables (core/aot.py)")
     p.add_argument("--pre_trained", action="store_true",
                    help="freeze backbone through layer3 (estimator.py:145-153)")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                   help="compute dtype (params stay f32)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from weather_unet_tpu.parallel.launch import maybe_initialize
+
+    maybe_initialize()   # multi-host: must run before backend init
     from weather_unet_tpu.core.profiling import enable_compilation_cache
 
     enable_compilation_cache()
@@ -81,7 +86,8 @@ def main(argv=None):
     test_set = FlickrDataset(args.image_root, sep["test"], SIGNAL_COLUMNS,
                              out_size=args.input_size)
 
-    model = ResNet101(num_classes=len(SIGNAL_COLUMNS))
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = ResNet101(num_classes=len(SIGNAL_COLUMNS), dtype=dt)
     variables = model.init(jax.random.key(0),
                            jnp.zeros((1, args.input_size, args.input_size, 3)))
     mask = resnet_pretrained_mask(variables["params"]) if args.pre_trained else None
@@ -93,11 +99,11 @@ def main(argv=None):
     def train_loader():
         return BatchLoader(train_set, batch_size=args.batch_size,
                            sampler=ImbalancedSampler(train_set),
-                           num_workers=args.num_workers)
+                           num_workers=args.num_workers, process_shard=True)
 
     def test_loader():
         return BatchLoader(test_set, batch_size=args.batch_size,
-                           num_workers=args.num_workers)
+                           num_workers=args.num_workers, process_shard=True)
 
     writer = SummaryWriter(log_dir=args.log_dir, comment=run_comment(
         args.lr, args.batch_size, args.num_epoch, args.name))

@@ -43,11 +43,17 @@ def build_parser():
                    help="directory for serialized compiled step executables; "
                         "a restarted run skips the multi-minute XLA step "
                         "compile (core/aot.py)")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                   help="compute dtype for the train step (params stay f32); "
+                        "bf16 is the measured TPU config (bench_train.py)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from weather_unet_tpu.parallel.launch import maybe_initialize
+
+    multiproc = maybe_initialize()   # multi-host: must run before backend init
     from weather_unet_tpu.core.profiling import enable_compilation_cache
 
     enable_compilation_cache()
@@ -62,13 +68,16 @@ def main(argv=None):
     from weather_unet_tpu.train.gan import GanConfig
     from weather_unet_tpu.train.loops import WeatherTransferTrainer
 
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     cfg = GanConfig(
         num_classes=5, lr=args.lr, input_size=args.input_size,
         batch_size=args.batch_size, gd_train_ratio=args.GD_train_ratio,
         mode="cls", supervised=args.supervised, cross_ent=args.cross_ent,
-        dataset=args.dataset, lmda=args.lmda, num_epoch=args.num_epoch)
+        dataset=args.dataset, lmda=args.lmda, num_epoch=args.num_epoch,
+        dtype=dt)
 
-    est_apply = load_estimator(args.estimator_path)  # raw logits; gan step softmaxes
+    # raw logits; gan step softmaxes
+    est_apply = load_estimator(args.estimator_path, dtype=dt)
 
     import pandas as pd
 
@@ -88,7 +97,9 @@ def main(argv=None):
         train_set = mk("train")
         test_set = ClassImageDataset(sep["test"], out_size=args.input_size)
     else:
-        df = pd.read_pickle(args.pkl_path).sample(frac=1)
+        # multi-host: identical shuffle on every process (loaders re-shard rows)
+        df = pd.read_pickle(args.pkl_path).sample(
+            frac=1, random_state=0 if multiproc else None)
         mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
                                           out_size=base, class_id=False,
                                           imbalance=imb, transform=aug)
@@ -99,15 +110,16 @@ def main(argv=None):
 
     def train_loader():
         return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
-                           num_workers=args.num_workers)
+                           num_workers=args.num_workers, process_shard=True)
 
     def random_loader():
         if args.sampler:
             return BatchLoader(train_set, batch_size=args.batch_size,
                                sampler=ImbalancedSampler(train_set),
-                               num_workers=args.num_workers)
+                               num_workers=args.num_workers, process_shard=True)
         return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
-                           seed=1, num_workers=args.num_workers)
+                           seed=1, num_workers=args.num_workers,
+                           process_shard=True)
 
     test_batches = None
     if len(test_set) >= 2 * args.batch_size:

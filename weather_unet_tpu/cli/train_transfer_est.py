@@ -42,11 +42,18 @@ def build_parser():
                    help="directory for serialized compiled step executables; "
                         "a restarted run skips the multi-minute XLA step "
                         "compile (core/aot.py)")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                   help="compute dtype for the train step (params stay f32); "
+                        "bf16 is the measured TPU config — 305 img/s at "
+                        "B=128 vs 189 img/s f32 B=8 (bench_train.py)")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from weather_unet_tpu.parallel.launch import maybe_initialize
+
+    multiproc = maybe_initialize()   # multi-host: must run before backend init
     from weather_unet_tpu.core.profiling import enable_compilation_cache
 
     enable_compilation_cache()
@@ -60,13 +67,14 @@ def main(argv=None):
     from weather_unet_tpu.train.gan import GanConfig
     from weather_unet_tpu.train.loops import WeatherTransferTrainer
 
+    dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     cfg = GanConfig(
         num_classes=len(SIGNAL_COLUMNS), lr=args.lr,
         input_size=args.input_size, batch_size=args.batch_size,
         gd_train_ratio=args.GD_train_ratio, mode="est",
-        lmda=args.lmda, num_epoch=args.num_epoch)
+        lmda=args.lmda, num_epoch=args.num_epoch, dtype=dt)
 
-    est_apply = load_estimator(args.estimator_path)
+    est_apply = load_estimator(args.estimator_path, dtype=dt)
 
     from weather_unet_tpu.data.transforms import make_train_augment
 
@@ -89,7 +97,9 @@ def main(argv=None):
         test_df = None
     else:
         df, _, _ = load_flickr_frame(args.pkl_path, stats_pkl=args.stats_pkl)
-        df = df.sample(frac=1)
+        # multi-host: every process must draw the SAME shuffle (the loaders
+        # re-shard each batch by process rank), so pin the random_state there
+        df = df.sample(frac=1, random_state=0 if multiproc else None)
         train_df = df[df["mode"] == "train"]
         test_df = df[df["mode"] == "test"]
         mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
@@ -99,7 +109,7 @@ def main(argv=None):
 
     def train_loader():
         return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
-                           num_workers=args.num_workers)
+                           num_workers=args.num_workers, process_shard=True)
 
     def random_loader():
         if args.sampler:
@@ -107,9 +117,10 @@ def main(argv=None):
             # (condition2 class labels), not w_condition (t_est_train.py:183-189)
             return BatchLoader(train_set, batch_size=args.batch_size,
                                sampler=ImbalancedSampler(train_set),
-                               num_workers=args.num_workers)
+                               num_workers=args.num_workers, process_shard=True)
         return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
-                           seed=1, num_workers=args.num_workers)
+                           seed=1, num_workers=args.num_workers,
+                           process_shard=True)
 
     # two cached test batches (t_est_train.py:198-207)
     test_batches = None

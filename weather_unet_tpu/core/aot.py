@@ -36,14 +36,22 @@ import jax
 
 def _backend_fingerprint() -> str:
     dev = jax.devices()[0]
-    return "|".join([
+    parts = [
         jax.__version__,
         getattr(jax, "_src").lib.version_str
         if hasattr(getattr(jax, "_src", None), "lib") else "",
         dev.platform,
         getattr(dev, "device_kind", "?"),
         str(jax.device_count()),
-    ])
+    ]
+    if dev.platform == "cpu":
+        # XLA:CPU executables bake in host machine features; a container
+        # migrating CPU types must miss cleanly instead of tripping the
+        # load-validate-delete fallback on every stale entry
+        from weather_unet_tpu.core.profiling import _host_fingerprint
+
+        parts.append(_host_fingerprint())
+    return "|".join(parts)
 
 
 class AotCache:

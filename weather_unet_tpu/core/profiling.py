@@ -59,11 +59,38 @@ class StepTimer:
         }
 
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's ISA surface (arch + cpuinfo feature flags).
+
+    XLA's persistent-cache key does NOT cover CPU machine features: entries
+    compiled on a host with, say, ``prefer-no-scatter``/AMX load on a lesser
+    host with only a warning ("could lead to execution errors such as
+    SIGILL") — observed as multi-minute stalls and a poisoned cache after
+    this container migrated CPU types.  Scoping the cache directory by ISA
+    fingerprint makes a host change a clean cache MISS instead.
+    """
+    import hashlib
+    import platform
+
+    h = hashlib.sha256(platform.machine().encode())
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    h.update(line.encode())
+                    break
+    except OSError:
+        pass
+    return h.hexdigest()[:12]
+
+
 def enable_compilation_cache(path: str = "~/.cache/weather_unet_tpu_xla"):
     """Persistent XLA compilation cache — first-compile times on TPU are
     minutes (CLAUDE.md); caching makes restarts/resumes near-instant.
 
-    Idempotent; set ``WUT_COMPILE_CACHE=0`` to disable (e.g. hermetic CI)."""
+    Entries live under a per-host-ISA subdirectory (see
+    :func:`_host_fingerprint`).  Idempotent; set ``WUT_COMPILE_CACHE=0`` to
+    disable (e.g. hermetic CI)."""
     import os
 
     import jax
@@ -71,7 +98,7 @@ def enable_compilation_cache(path: str = "~/.cache/weather_unet_tpu_xla"):
     if os.environ.get("WUT_COMPILE_CACHE", "1") == "0":
         return
     try:
-        cache_dir = os.path.expanduser(path)
+        cache_dir = os.path.join(os.path.expanduser(path), _host_fingerprint())
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

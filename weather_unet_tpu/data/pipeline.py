@@ -41,13 +41,15 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = False,
                  drop_last: bool = True, sampler: Optional[Iterable[int]] = None,
-                 num_workers: int = 8, seed: int = 0):
+                 num_workers: int = 8, seed: int = 0,
+                 process_shard: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.sampler = sampler
         self.num_workers = max(1, num_workers)
+        self.process_shard = process_shard
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -69,6 +71,19 @@ class BatchLoader:
         batches = [indices[i * bs:(i + 1) * bs] for i in range(n_full)]
         if not self.drop_last and len(indices) % bs:
             batches.append(indices[n_full * bs:])
+        if self.process_shard:
+            # Host-sharded input (SURVEY.md §2.9): under multi-process JAX
+            # every host runs the SAME seeded index sequence (identical
+            # ``seed``/sampler RNG across hosts is the caller's contract)
+            # but loads only its global-batch rows; downstream,
+            # ``device_prefetch(assembly='process_local')`` assembles the
+            # global array from the per-host shards.  Single-process: no-op.
+            import jax
+
+            if jax.process_count() > 1:
+                from weather_unet_tpu.parallel.launch import process_slice
+
+                batches = [b[process_slice(len(b))] for b in batches]
 
         with ThreadPoolExecutor(self.num_workers) as pool:
             # pipeline: submit the next batch's samples while yielding current

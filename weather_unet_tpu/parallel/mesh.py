@@ -76,6 +76,16 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
         if batch_size is not None:
             while data > 1 and batch_size % data != 0:
                 data -= 1
+    if jax.process_count() > 1 and data * model != len(devices):
+        # A devices[:k] subset under multi-controller JAX is process-lopsided
+        # (device order groups by process): some process would own zero mesh
+        # shards and every collective would wedge.  Require the global batch
+        # to divide over every chip instead of silently shrinking the mesh.
+        raise ValueError(
+            f"multi-process mesh must span all {len(devices)} devices, got "
+            f"data={data} x model={model}"
+            + (f" (batch_size={batch_size} is not divisible by the device "
+               f"count)" if batch_size is not None else ""))
     arr = np.asarray(devices[: data * model]).reshape(data, model)
     return MeshPlan(Mesh(arr, ("data", "model")))
 
@@ -86,6 +96,28 @@ def batch_sharding(plan: MeshPlan) -> NamedSharding:
 
 def replicated_sharding(plan: MeshPlan) -> NamedSharding:
     return plan.replicated()
+
+
+def put_host_local(sharding: NamedSharding, tree):
+    """``device_put`` a host value onto a possibly CROSS-PROCESS sharding.
+
+    Under multi-controller JAX a sharding that spans other hosts' devices is
+    not addressable, so plain ``jax.device_put`` refuses it.  This helper
+    takes the *process-local view* of the value — the full value for
+    replicated specs (identical on every process by contract), this host's
+    rows for batch-sharded specs — and assembles the global array
+    (``host_local_array_to_global_array``).  Single-process, the local view
+    IS the global value and this is exactly ``device_put``.  Works on
+    pytrees and typed PRNG-key arrays.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+    from jax.experimental import multihost_utils as mhu
+
+    return mhu.host_local_array_to_global_array(
+        tree, sharding.mesh, sharding.spec)
 
 
 def shard_batch(plan: MeshPlan, tree):

@@ -34,7 +34,10 @@ def save_checkpoint(directory: str, name: str, step: int, tree: Any) -> str:
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"ckpt_s{step:010d}.msgpack")
     data = serialization.to_bytes(_to_host(tree))
-    tmp = path + ".tmp"
+    # pid-unique staging name: under multi-controller JAX every rank writes
+    # the (identical, replicated) checkpoint to the same shared-fs path; a
+    # shared ".tmp" would interleave concurrent writers
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
@@ -62,6 +65,71 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     if target is None:
         return serialization.msgpack_restore(data)
     return serialization.from_bytes(target, data)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint IO with training.
+
+    ``save_checkpoint`` in the step loop costs a device->host read of the
+    full train state plus msgpack serialization and a disk write — all of it
+    dead time for the accelerator (and the D2H alone is substantial over a
+    tunneled device).  ``save()`` instead:
+
+    1. snapshots the state on DEVICE (async HBM->HBM copies; near-free for
+       the caller).  The copy is load-bearing, not an optimization: the
+       train steps donate their state buffers (``donate_argnums=(0,)``), so
+       by the time a background thread read the original arrays the next
+       step would already have invalidated them.
+    2. hands D2H + serialize + atomic write to a single worker thread.
+
+    One write in flight at a time (a second ``save`` first joins the
+    previous) bounds peak host memory at one snapshot and keeps newest-wins
+    resume ordering.  ``wait()`` joins the pending write and re-raises any
+    IO error — call it before process exit (preemption), before reading
+    ``latest_checkpoint`` (the pending write may be the latest), and before
+    rollback-restores.  The reference has no analogue (``torch.save`` blocks
+    the loop, ``t_est_train.py:365-373``).
+    """
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(1, thread_name_prefix="ckpt")
+        self._pending = None
+
+    @staticmethod
+    def _snapshot(x):
+        if isinstance(x, jax.Array):
+            import jax.numpy as jnp
+
+            return jnp.copy(x)      # fresh buffers: immune to donation
+        return x
+
+    def save(self, directory: str, name: str, step: int, tree: Any) -> None:
+        """Schedule an async save; returns once the device-side snapshot is
+        dispatched (microseconds), not when the file lands."""
+        self.wait()
+        snap = jax.tree.map(self._snapshot, tree)
+        self._pending = self._pool.submit(
+            save_checkpoint, directory, name, step, snap)
+
+    def wait(self) -> Optional[str]:
+        """Join the in-flight write (if any); returns its path."""
+        if self._pending is None:
+            return None
+        pending, self._pending = self._pending, None
+        return pending.result()
+
+    def close(self) -> None:
+        self.wait()
+        self._pool.shutdown()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 def export_torch_gan(path: str, gen_variables, disc_variables,

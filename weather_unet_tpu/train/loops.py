@@ -19,12 +19,14 @@ from weather_unet_tpu.core.profiling import trace
 from weather_unet_tpu.core.state import TrainState
 from weather_unet_tpu.data.pipeline import device_prefetch
 from weather_unet_tpu.data.transforms import AugmentConfig, augment_batch, normalize_batch
-from weather_unet_tpu.parallel.mesh import MeshPlan, make_mesh
+from weather_unet_tpu.parallel.launch import lockstep_compile
+from weather_unet_tpu.parallel.mesh import MeshPlan, make_mesh, put_host_local
 from weather_unet_tpu.train import checkpoint as ckpt
 from weather_unet_tpu.train.gan import (
     GanConfig, build_gan_state, make_gan_step, make_eval_step,
 )
 from weather_unet_tpu.train.metrics import SummaryWriter, run_comment
+from weather_unet_tpu.train.preemption import GracefulShutdown
 
 
 class WeatherTransferTrainer:
@@ -96,6 +98,14 @@ class WeatherTransferTrainer:
             in_shardings=(rsh, bsh, bsh, bsh, bsh, rsh, rsh),
             out_shardings=(rsh, rsh),
             donate_argnums=(0,))  # state buffers reused in place
+        if aot_cache is not None and jax.process_count() > 1:
+            # The AOT tier's cache-hit validation executes the loaded program
+            # on dummies; with mixed hit/miss across ranks that dispatches a
+            # collective some ranks never join (wedge).  Multi-process runs
+            # use lockstep-compiled jits instead (parallel/launch.py).
+            print("WARNING: --aot_cache is single-process only; ignoring it "
+                  "for this multi-process run", flush=True)
+            aot_cache = None
         if aot_cache is not None:
             # Serialized-executable tier: a restarted run loads the step
             # programs from disk instead of re-paying XLA compilation (the
@@ -113,14 +123,18 @@ class WeatherTransferTrainer:
                                   self.aot, shardings)
         else:
             self.aot = None
-            self._step_dg = jax.jit(functools.partial(fused, do_g=True),
-                                    **shardings)
-            self._step_d = jax.jit(functools.partial(fused, do_g=False),
-                                   **shardings)
-        self._eval = jax.jit(make_eval_step(self.gen, self.disc, est_apply, cfg))
+            self._step_dg = lockstep_compile(
+                jax.jit(functools.partial(fused, do_g=True), **shardings),
+                "gan_step_dg")
+            self._step_d = lockstep_compile(
+                jax.jit(functools.partial(fused, do_g=False), **shardings),
+                "gan_step_d")
+        self._eval = lockstep_compile(
+            jax.jit(make_eval_step(self.gen, self.disc, est_apply, cfg)),
+            "gan_eval")
 
-        self.state = jax.device_put(self.state, rsh)
-        self._base_key = jax.device_put(jax.random.key(seed + 1), rsh)
+        self.state = put_host_local(rsh, self.state)
+        self._base_key = put_host_local(rsh, jax.random.key(seed + 1))
         self._rng = jax.random.key(seed + 2)   # cold paths (evaluate)
         self.scalar_dict = {}
         self.image_dict = {}
@@ -137,6 +151,7 @@ class WeatherTransferTrainer:
         self.nan_guard = nan_guard
         self.max_rollbacks = max_rollbacks
         self._rollbacks = 0
+        self._ckpt = ckpt.AsyncCheckpointer()
 
     # ------------------------------------------------------------- state io
     def _resume(self):
@@ -147,8 +162,11 @@ class WeatherTransferTrainer:
             self._gstep = int(self.state.global_step)
 
     def _save(self):
+        # Async: device-side snapshot now, D2H + serialize + write on the
+        # checkpointer thread — the step loop resumes immediately instead of
+        # stalling on the full-state host read (train/checkpoint.py).
         step = int(self.state.global_step)
-        ckpt.save_checkpoint(self.save_dir, self.name, step, self.state)
+        self._ckpt.save(self.save_dir, self.name, step, self.state)
         if self.export_torch:
             out = os.path.join(
                 self.save_dir, self.name,
@@ -164,7 +182,8 @@ class WeatherTransferTrainer:
         return k
 
     def train_epoch(self, train_loader: Iterable, random_loader: Iterable,
-                    test_batches=None, labeled: bool = False):
+                    test_batches=None, labeled: bool = False,
+                    stop: Optional[GracefulShutdown] = None):
         """One epoch over zipped content/condition streams
         (``t_est_train.py:362``).  Batches are ``(uint8 images, cond...,)``
         tuples from :class:`BatchLoader`; ``labeled`` selects the cls-mode
@@ -177,18 +196,33 @@ class WeatherTransferTrainer:
         # Only the image field is prefetched to device; condition vectors are
         # tiny (B ints) and ship with the step dispatch itself — a separate
         # per-step device_put costs a tunnel round-trip (~10 ms/step of the
-        # 51 ms B=8 f32 step, bench_trainer_diag.py)
+        # 51 ms B=8 f32 step, bench_trainer_diag.py).  Multi-process runs
+        # must instead assemble EVERY sharded field from per-host rows
+        # (hosts only have their local shard — parallel/launch.py), so the
+        # condition field joins the prefetch there.
+        fields = [0] if jax.process_count() == 1 else [0, 1]
         zipped = zip(
-            device_prefetch(train_loader, sharding=bsh, device_fields=[0]),
-            device_prefetch(random_loader, sharding=bsh, device_fields=[0]))
+            device_prefetch(train_loader, sharding=bsh, device_fields=fields),
+            device_prefetch(random_loader, sharding=bsh, device_fields=fields))
         # HOT LOOP: no device->host reads here.  Metrics stay on device
         # (self._last_metrics) and are read back only at the 1000-step
         # summary cadence, matching the reference's actual TB-write cadence
         # (t_est_train.py:336-345) — a per-step float() would serialize the
         # async dispatch stream (VERDICT.md round-1 'weak' #1).
-        zeros = jnp.zeros(self.cfg.batch_size, jnp.int32)   # hoisted: one alloc
+        # hoisted: one alloc; multi-process passes this host's rows only
+        zeros = put_host_local(
+            bsh, np.zeros(self.cfg.batch_size // jax.process_count(), np.int32))
         base_key = self._base_key
         for data, rand_data in zipped:
+            if stop is not None and stop.requested:
+                # preemption notice (SIGTERM): persist at the step boundary
+                # and bail — auto-resume continues from here, not from the
+                # last 1000-step cadence save (train/preemption.py)
+                print(f"preemption: signal {stop.signum} — checkpointing at "
+                      f"step {self._gstep} and stopping", flush=True)
+                self._save()
+                self._ckpt.wait()   # the grace window must see the file land
+                return False
             if data[0].shape[0] != self.cfg.batch_size:
                 continue
             if labeled:
@@ -222,6 +256,8 @@ class WeatherTransferTrainer:
             if gstep % self.DISPLAY_PER_STEP == 0:
                 self.update_summary()
         self.state = self.state.replace(epoch=self.state.epoch + 1)
+        self._ckpt.wait()   # cadence saves issued this epoch are durable now
+        return True
 
     def _maybe_rollback(self) -> bool:
         """Failure recovery for long unattended runs: when the latest step
@@ -240,6 +276,7 @@ class WeatherTransferTrainer:
         bad = [k for k, v in vals.items() if not np.isfinite(v)]
         if not bad:
             return False
+        self._ckpt.wait()   # the newest checkpoint may still be in flight
         path = ckpt.latest_checkpoint(self.save_dir, self.name)
         if path is None or self._rollbacks >= self.max_rollbacks:
             print(f"WARNING: non-finite metrics {bad} at step {self._gstep} "
@@ -249,11 +286,12 @@ class WeatherTransferTrainer:
             return False
         self._rollbacks += 1
         rsh = self.plan.replicated()
-        self.state = jax.device_put(
-            ckpt.restore_checkpoint(path, self.state), rsh)
+        self.state = put_host_local(
+            rsh, ckpt.restore_checkpoint(path, self.state))
         self._gstep = int(self.state.global_step)
-        self._base_key = jax.device_put(
-            jax.random.fold_in(self._base_key, self._rollbacks), rsh)
+        self._base_key = put_host_local(
+            rsh, jax.device_get(
+                jax.random.fold_in(self._base_key, self._rollbacks)))
         self._last_metrics = None    # don't log the diverged values
         self._window_t0 = None       # throughput window spanned the restore
         self._window_steps = 0
@@ -313,11 +351,18 @@ class WeatherTransferTrainer:
     def fit(self, train_loader_fn: Callable[[], Iterable],
             random_loader_fn: Callable[[], Iterable], test_batches=None,
             labeled: bool = False):
-        with trace(self.profile_dir):
-            for _ in range(self.cfg.num_epoch):
-                self.train_epoch(train_loader_fn(), random_loader_fn(),
-                                 test_batches=test_batches, labeled=labeled)
-        print("Done: training")
+        try:
+            with trace(self.profile_dir), GracefulShutdown() as stop:
+                for _ in range(self.cfg.num_epoch):
+                    if not self.train_epoch(
+                            train_loader_fn(), random_loader_fn(),
+                            test_batches=test_batches, labeled=labeled,
+                            stop=stop):
+                        print("Done: training (preempted)")
+                        return
+            print("Done: training")
+        finally:
+            self._ckpt.wait()   # don't exit with a checkpoint mid-write
 
 
 def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
@@ -355,7 +400,14 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
         return step_fn(state, prep(k, x_u8), targets)
 
     step_kw = dict(in_shardings=(rsh, bsh, bsh, rsh, rsh),
-                   out_shardings=(rsh, rsh))
+                   out_shardings=(rsh, rsh),
+                   donate_argnums=(0,))  # state buffers reused in place
+    if aot_cache is not None and jax.process_count() > 1:
+        # see WeatherTransferTrainer: the AOT tier's hit-validation dispatch
+        # can wedge mixed hit/miss rank sets — lockstep jit instead
+        print("WARNING: --aot_cache is single-process only; ignoring it "
+              "for this multi-process run", flush=True)
+        aot_cache = None
     if aot_cache is not None:   # serialized-executable tier (core/aot.py)
         from weather_unet_tpu.core.aot import AotCache, AotJit
 
@@ -363,47 +415,101 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                  else AotCache(aot_cache))
         jstep = AotJit(fused, cache, step_kw)
     else:
-        jstep = jax.jit(fused, **step_kw)
-    jeval = jax.jit(eval_fn, in_shardings=(rsh, rsh, bsh, bsh), out_shardings=rsh)
-    base_key = jax.device_put(jax.random.key(seed), rsh)
-    state = jax.device_put(state, rsh)
+        jstep = lockstep_compile(jax.jit(fused, **step_kw), "sup_step")
+    jeval = lockstep_compile(
+        jax.jit(eval_fn, in_shardings=(rsh, rsh, bsh, bsh), out_shardings=rsh),
+        "sup_eval")
+    # Auto-resume, same semantics as WeatherTransferTrainer._resume: newest
+    # checkpoint wins; optimizer state rides along so Adam moments survive a
+    # preemption (the reference's classifier.py restarts cold every launch).
+    global_step, start_epoch = 0, 0
+    path = ckpt.latest_checkpoint(save_dir, name)
+    if path is not None:
+        target = {"params": state.params, "batch_stats": state.extra,
+                  "opt_state": state.opt_state, "epoch": 0, "global_step": 0}
+        try:
+            restored = ckpt.restore_checkpoint(path, target)
+        except (KeyError, ValueError):
+            # pre-round-3 checkpoint without opt_state: params-only resume
+            target.pop("opt_state")
+            restored = ckpt.restore_checkpoint(path, target)
+            restored["opt_state"] = state.opt_state
+        state = state.replace(params=restored["params"],
+                              extra=restored["batch_stats"],
+                              opt_state=restored["opt_state"])
+        global_step = int(restored["global_step"])
+        start_epoch = int(restored["epoch"])
+        print(f"resumed from {path} at step {global_step}", flush=True)
 
-    global_step = 0
+    base_key = put_host_local(rsh, jax.random.key(seed))
+    state = put_host_local(rsh, state)
+    # The step donates its state argument and device_put can ALIAS the
+    # caller's buffers (same device/layout) — donate would then invalidate
+    # the caller's state object.  One explicit device copy breaks the alias;
+    # the caller keeps its arrays.
+    state = jax.tree.map(
+        lambda x: jnp.copy(x) if isinstance(x, jax.Array) else x, state)
+
+    ckpter = ckpt.AsyncCheckpointer()
+
+    def save(epoch, global_step):
+        # Async: snapshot on device, write on the checkpointer thread
+        # (train/checkpoint.py) — the epoch loop doesn't stall on D2H + IO.
+        ckpter.save(save_dir, name, global_step,
+                    {"params": state.params, "batch_stats": state.extra,
+                     "opt_state": state.opt_state,
+                     "epoch": epoch, "global_step": global_step})
+
     train_metrics = []
-    for epoch in range(num_epoch):
-        for batch in device_prefetch(train_loader_fn(), sharding=bsh,
-                                     device_fields=[0]):
-            targets = np.asarray(batch[1]).astype(target_dtype)
-            state, metrics = jstep(state, batch[0], targets, base_key,
-                                   np.uint32(global_step))
-            # Device arrays only — read back at the eval cadence, not per
-            # step (avoids a host sync in the hot loop).
-            train_metrics.append(metrics)
+    # single-process: targets ship with the dispatch (see WeatherTransferTrainer);
+    # multi-process: every sharded field must be assembled from per-host rows
+    fields = [0] if jax.process_count() == 1 else [0, 1]
+    with GracefulShutdown() as stop, ckpter:
+        for epoch in range(start_epoch, num_epoch):
+            for batch in device_prefetch(train_loader_fn(), sharding=bsh,
+                                         device_fields=fields):
+                if stop.requested:
+                    # preemption notice: persist at the step boundary and
+                    # bail (train/preemption.py); auto-resume picks up from
+                    # here instead of the save_per_epoch cadence.  The
+                    # context manager joins the write before returning.
+                    print(f"preemption: signal {stop.signum} — checkpointing "
+                          f"at step {global_step} and stopping", flush=True)
+                    save(epoch, global_step)
+                    return state
+                t = batch[1]
+                targets = (t.astype(target_dtype) if isinstance(t, jax.Array)
+                           else np.asarray(t).astype(target_dtype))
+                state, metrics = jstep(state, batch[0], targets, base_key,
+                                       np.uint32(global_step))
+                # Device arrays only — read back at the eval cadence, not per
+                # step (avoids a host sync in the hot loop).
+                train_metrics.append(metrics)
 
-            if global_step % eval_per_iter == 0:
-                train_metrics = [
-                    {k2: float(v) for k2, v in m.items()} for m in train_metrics]
-                test_accum = []
-                for tb in device_prefetch(test_loader_fn(), sharding=bsh,
-                                          device_fields=[0, 1]):
-                    m = jeval(state.params, state.extra, norm(tb[0]),
-                              tb[1].astype(target_dtype))
-                    test_accum.append(m)
-                test_accum = [
-                    {k2: float(v) for k2, v in m.items()} for m in test_accum]
-                if writer is not None and test_accum:
-                    mean = lambda ms, k2: float(np.mean([m[k2] for m in ms]))
-                    scalars = {}
-                    for k2 in train_metrics[0]:
-                        scalars[f"{k2}/train"] = mean(train_metrics, k2)
-                    for k2 in test_accum[0]:
-                        scalars[f"{k2}/test"] = mean(test_accum, k2)
-                    writer.add_scalars(scalars, global_step)
-                train_metrics = []
-            global_step += 1
+                if global_step % eval_per_iter == 0:
+                    train_metrics = [
+                        {k2: float(v) for k2, v in m.items()} for m in train_metrics]
+                    test_accum = []
+                    for tb in device_prefetch(test_loader_fn(), sharding=bsh,
+                                              device_fields=[0, 1]):
+                        m = jeval(state.params, state.extra, norm(tb[0]),
+                                  tb[1].astype(target_dtype))
+                        test_accum.append(m)
+                    test_accum = [
+                        {k2: float(v) for k2, v in m.items()} for m in test_accum]
+                    if writer is not None and test_accum:
+                        mean = lambda ms, k2: float(np.mean([m[k2] for m in ms]))
+                        scalars = {}
+                        for k2 in train_metrics[0]:
+                            scalars[f"{k2}/train"] = mean(train_metrics, k2)
+                        for k2 in test_accum[0]:
+                            scalars[f"{k2}/test"] = mean(test_accum, k2)
+                        writer.add_scalars(scalars, global_step)
+                    train_metrics = []
+                global_step += 1
 
-        if epoch % save_per_epoch == 0:
-            ckpt.save_checkpoint(save_dir, name, global_step,
-                                 {"params": state.params, "batch_stats": state.extra,
-                                  "epoch": epoch, "global_step": global_step})
+            if epoch % save_per_epoch == 0:
+                # epoch+1 = first epoch a resume still has to run (the
+                # preemption save above stores the interrupted epoch itself)
+                save(epoch + 1, global_step)
     return state
