@@ -160,6 +160,45 @@ def test_timed_out_request_is_dropped(cp_path):
     assert st.calls == [1]          # cancelled B was never dispatched
 
 
+def test_batcher_pipelines_dispatch_and_readback():
+    """Group k+1 must be DISPATCHED while group k's readback is still in
+    flight — the two-stage pipeline hides host D2H + distribution time
+    behind the next group's device compute (serve.py Batcher docstring)."""
+    log = []
+
+    class LazyOut:                       # stands in for a jax device array
+        def __init__(self, i):
+            self.i = i
+
+        def __array__(self, dtype=None, copy=None):
+            log.append(("readback_start", self.i))
+            time.sleep(0.25)             # D2H window the pipeline must hide
+            log.append(("readback_end", self.i))
+            return np.zeros((1, 8, 8, 3), np.uint8)
+
+    class AsyncTransfer:
+        def __init__(self):
+            self.n = 0
+
+        def translate_u8(self, x, c):
+            self.n += 1
+            log.append(("dispatch", self.n))
+            return LazyOut(self.n)
+
+    batcher = Batcher(AsyncTransfer(), max_batch=1, batch_wait_ms=1.0)
+    threads = [threading.Thread(
+        target=batcher.submit,
+        args=(np.zeros((8, 8, 3), np.uint8), np.zeros(5, np.float32)))
+        for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert ("dispatch", 2) in log and ("readback_end", 1) in log
+    assert log.index(("dispatch", 2)) < log.index(("readback_end", 1))
+    assert batcher.stats()["requests"] == 3
+
+
 def test_batcher_surfaces_errors(cp_path):
     wt = WeatherTransfer.load(cp_path)
     batcher = Batcher(wt, max_batch=2, batch_wait_ms=1.0)

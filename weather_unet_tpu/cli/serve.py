@@ -50,24 +50,41 @@ class _Request:
 
 
 class Batcher:
-    """Queue + dispatcher thread: groups concurrent requests into one
+    """Queue + two-stage pipeline: groups concurrent requests into one
     device dispatch (the TPU analogue of the reference's DataLoader batching,
-    applied at serving time)."""
+    applied at serving time).
+
+    Dispatch and completion are separate threads so the device computes
+    group k+1 while the host reads back / distributes group k — dispatch is
+    async in JAX, and the D2H readback (25 MB at B=128, plus the tunnel RTT)
+    is exactly the window the next group's forward can hide in.  One group
+    in flight beyond the one completing (``pipeline_depth=2``): deeper
+    pipelines only add latency, and the blocked dispatch thread doubles as
+    backpressure that grows the next group (better batching under load).
+    """
 
     def __init__(self, transfer, max_batch: int = 16, batch_wait_ms: float = 5.0,
-                 timeout_s: float = 300.0):
+                 timeout_s: float = 300.0, pipeline_depth: int = 2):
         self.transfer = transfer
         self.max_batch = max_batch
         self.batch_wait_s = batch_wait_ms / 1e3
         self.timeout_s = timeout_s
         self.queue: "queue.Queue[_Request]" = queue.Queue()
+        # (group, device_out, error, t0) tuples; maxsize = extra groups in
+        # flight — put() blocking on a full queue is the backpressure
+        self._inflight: "queue.Queue[tuple]" = queue.Queue(
+            maxsize=max(1, pipeline_depth - 1))
         self.lock = threading.Lock()
         self.n_requests = 0
         self.n_batches = 0
         self.batch_sizes: list = []
         self.batch_ms: list = []
-        self._thread = threading.Thread(target=self._loop, daemon=True)
-        self._thread.start()
+        self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                            daemon=True)
+        self._completer = threading.Thread(target=self._complete_loop,
+                                           daemon=True)
+        self._dispatcher.start()
+        self._completer.start()
 
     def submit(self, image: np.ndarray, cond: np.ndarray) -> np.ndarray:
         req = _Request(image=image, cond=cond)
@@ -82,7 +99,7 @@ class Batcher:
             raise RuntimeError(req.error)
         return req.result
 
-    def _loop(self):
+    def _dispatch_loop(self):
         while True:
             first = self.queue.get()
             group = [first]
@@ -99,15 +116,31 @@ class Batcher:
             if not group:
                 continue
             t0 = time.perf_counter()
+            out = err = None
             try:
                 x = np.stack([r.image for r in group])
                 c = np.stack([r.cond for r in group])
-                out = np.asarray(self.transfer.translate_u8(x, c))
-                for i, r in enumerate(group):
-                    r.result = out[i]
+                # async dispatch: returns a DEVICE array; the completion
+                # thread pays the readback while this thread batches and
+                # dispatches the next group
+                out = self.transfer.translate_u8(x, c)
             except Exception as e:  # surface per-request, keep serving
+                err = f"{type(e).__name__}: {e}"
+            self._inflight.put((group, out, err, t0))
+
+    def _complete_loop(self):
+        while True:
+            group, out, err, t0 = self._inflight.get()
+            if err is None:
+                try:
+                    host = np.asarray(out)     # blocks: compute + D2H
+                    for i, r in enumerate(group):
+                        r.result = host[i]
+                except Exception as e:
+                    err = f"{type(e).__name__}: {e}"
+            if err is not None:
                 for r in group:
-                    r.error = f"{type(e).__name__}: {e}"
+                    r.error = err
             dt_ms = (time.perf_counter() - t0) * 1e3
             with self.lock:
                 self.n_requests += len(group)
