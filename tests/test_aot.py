@@ -224,7 +224,9 @@ def test_supervised_aot_cache(tmp_path, rng):
                 yield (rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
                        rng.integers(0, 5, 4))
 
-    def run(cache):
+    def run(cache, name):
+        # distinct run names: auto-resume would otherwise skip the second
+        # run's (completed) epoch entirely and never request the executable
         model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
         variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
         state = TrainState.create(
@@ -234,15 +236,15 @@ def test_supervised_aot_cache(tmp_path, rng):
             model, make_classifier_step(model),
             make_eval_metrics(model, "classifier"),
             lambda: FakeLoader(), lambda: FakeLoader(),
-            state=state, num_epoch=1, save_dir=str(tmp_path), name="c",
+            state=state, num_epoch=1, save_dir=str(tmp_path), name=name,
             batch_size=4, eval_per_iter=100, target_dtype=jnp.int32,
             input_size=32, aot_cache=cache)
 
     c1 = AotCache(str(tmp_path / "aot"))
-    run(c1)
+    run(c1, "c1")
     assert c1.stats["misses"] == 1 and c1.stats["hits"] == 0
     c2 = AotCache(str(tmp_path / "aot"))
-    run(c2)
+    run(c2, "c2")
     assert c2.stats["misses"] == 0 and c2.stats["hits"] == 1
 
 
