@@ -1,0 +1,203 @@
+"""Tensor parallelism (TP): conv channels sharded across the mesh 'model'
+axis (Megatron column/row split on the double-conv pairs — parallel/tp.py).
+
+These tests pin numerical equality of the channel-sharded forward and the
+full GAN train step against their unsharded counterparts on the virtual
+8-device CPU mesh, and the sharding-rule assignments themselves.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from weather_unet_tpu.models import ConditionalUNet, SNDisc
+from weather_unet_tpu.parallel.mesh import MeshPlan
+from weather_unet_tpu.parallel.tp import tp_specs, tp_shardings
+
+
+def _mesh(data: int, model: int) -> MeshPlan:
+    devs = np.asarray(jax.devices()[: data * model]).reshape(data, model)
+    return MeshPlan(Mesh(devs, ("data", "model")))
+
+
+def test_tp_spec_rules():
+    """conv1 -> column (O) shard, conv2 -> row (I) shard, everything else
+    replicated; indivisible dims stay replicated."""
+    model = ConditionalUNet(num_classes=5)
+    x = jnp.zeros((1, 32, 32, 3))
+    c = jnp.zeros((1, 5))
+    params = model.init(jax.random.key(0), x, c)["params"]
+    specs = tp_specs(params, 2)
+    assert specs["down1"]["conv1"]["kernel"] == P(None, None, None, "model")
+    assert specs["down1"]["conv1"]["bias"] == P("model")
+    assert specs["down1"]["conv2"]["kernel"] == P(None, None, "model", None)
+    assert specs["down1"]["conv2"]["bias"] == P()
+    assert specs["adain1"]["proj"]["kernel"] == P()
+    # conv_last (1x1 to 3 channels): O=3 not divisible -> replicated
+    assert specs["conv_last"]["kernel"] == P()
+    # n_shard=1 means no sharding at all
+    flat = jax.tree.leaves(tp_specs(params, 1),
+                           is_leaf=lambda s: isinstance(s, P))
+    assert all(s == P() for s in flat)
+
+
+def test_tp_specs_cover_gan_state():
+    """Applied to the whole GanTrainState, Adam moments mirror their param's
+    spec and the spectral 'u' vectors follow their conv's column sharding."""
+    from weather_unet_tpu.train.gan import GanConfig, build_gan_state
+
+    cfg = GanConfig(input_size=32, batch_size=2, dropout_rate=0.0)
+    _, _, state = build_gan_state(cfg, jax.random.key(0))
+    specs = tp_specs(state, 2)
+    assert (specs.gen.params["down2"]["conv1"]["kernel"]
+            == P(None, None, None, "model"))
+    # optax ScaleByAdamState mu/nu reuse the param tree structure
+    mu_specs = [s for s in jax.tree.leaves(
+        specs.gen.opt_state, is_leaf=lambda x: isinstance(x, P))]
+    assert P(None, None, None, "model") in mu_specs
+    # spectral u of an SN conv1 (length O) shards with its kernel; block1's
+    # conv1 is 3->3 channels (O=3 indivisible) so it correctly stays
+    # replicated, as do all conv2 u vectors (their output is psum-ed full
+    # width) and the dense heads
+    assert specs.spectral["block1"]["conv1"]["u"] == P()
+    assert specs.spectral["block2"]["conv1"]["u"] == P("model")
+    assert specs.spectral["block2"]["conv2"]["u"] == P()
+    assert specs.spectral["linear"]["u"] == P()
+
+
+def test_cunet_forward_tensor_parallel(rng):
+    plan = _mesh(data=2, model=4)
+    model = ConditionalUNet(num_classes=5)
+    x = jnp.asarray(rng.standard_normal((4, 64, 64, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((4, 5)).astype(np.float32))
+    v = model.init(jax.random.key(0), x[:1], c[:1])
+    ref = model.apply(v, x, c)
+
+    vsh = tp_shardings(plan, v)
+    bsh, _ = plan.batch(), plan.replicated()
+    f = jax.jit(lambda v, x, c: model.apply(v, x, c),
+                in_shardings=(vsh, bsh, bsh), out_shardings=bsh)
+    out = f(jax.device_put(v, vsh), jax.device_put(x, bsh),
+            jax.device_put(c, bsh))
+    # weights really are distributed: a column-sharded kernel's per-device
+    # shard holds 1/4 of the output channels
+    placed = jax.device_put(v, vsh)
+    shard = placed["params"]["down1"]["conv1"]["kernel"].addressable_shards[0]
+    assert shard.data.shape[3] == 64 // 4
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_sndisc_forward_tensor_parallel(rng):
+    """Spectral-norm power iteration under column-sharded kernels: sigma is a
+    global contraction (psum inserted by GSPMD) — outputs and the advanced u
+    vectors must match the unsharded forward."""
+    plan = _mesh(data=2, model=2)
+    model = SNDisc(num_classes=5)
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    c = jnp.asarray(rng.standard_normal((4, 5)).astype(np.float32))
+    v = model.init(jax.random.key(0), x[:1], c[:1])
+    (ref_out, _), ref_upd = model.apply(v, x, c, update_stats=True,
+                                        mutable=["spectral"])
+
+    vsh = tp_shardings(plan, v)
+    bsh = plan.batch()
+
+    def fwd(v, x, c):
+        (out, _), upd = model.apply(v, x, c, update_stats=True,
+                                    mutable=["spectral"])
+        return out, upd
+
+    f = jax.jit(fwd, in_shardings=(vsh, bsh, bsh))
+    out, upd = f(jax.device_put(v, vsh), jax.device_put(x, bsh),
+                 jax.device_put(c, bsh))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4)
+    a = np.asarray(ref_upd["spectral"]["block3"]["conv1"]["u"])
+    b = np.asarray(upd["spectral"]["block3"]["conv1"]["u"])
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_gan_step_tensor_parallel(rng):
+    """Full combined GAN train step with the ENTIRE state (params, Adam
+    moments, spectral u) channel-sharded 2-way: losses and updated params
+    match the unsharded step."""
+    from weather_unet_tpu.train.gan import GanConfig, build_gan_state, make_gan_step
+
+    plan = _mesh(data=4, model=2)
+    cfg = GanConfig(input_size=32, batch_size=4, dropout_rate=0.0)
+    gen, disc, state = build_gan_state(cfg, jax.random.key(0))
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    step = make_gan_step(gen, disc, est_apply, cfg)
+    images = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    rand = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    zeros = jnp.zeros(4, jnp.int32)
+
+    ref_state, ref_metrics = jax.jit(functools.partial(step, do_g=True))(
+        state, images, zeros, rand, zeros, jax.random.key(1))
+
+    ssh = tp_shardings(plan, state)
+    bsh, rsh = plan.batch(), plan.replicated()
+    sstep = jax.jit(functools.partial(step, do_g=True),
+                    in_shardings=(ssh, bsh, bsh, bsh, bsh, rsh),
+                    out_shardings=(ssh, rsh))
+    s_state, s_metrics = sstep(
+        jax.device_put(state, ssh), jax.device_put(images, bsh),
+        jax.device_put(zeros, bsh), jax.device_put(rand, bsh),
+        jax.device_put(zeros, bsh), jax.device_put(jax.random.key(1), rsh))
+
+    np.testing.assert_allclose(float(s_metrics["d_loss"]),
+                               float(ref_metrics["d_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(s_metrics["g_loss"]),
+                               float(ref_metrics["g_loss"]), rtol=1e-4)
+    # Param tolerance: gan_adam has beta1=0, so the first-step update is
+    # ~lr * g/|g| — a reduction-order flip of a NEAR-ZERO gradient element
+    # legitimately moves that param by up to ~2*lr (1e-4).  Bound the max by
+    # that mechanism and the bulk drift much tighter.
+    diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(ref_state.gen.params),
+                        jax.tree.leaves(s_state.gen.params))])
+    assert diffs.max() <= 3 * cfg.lr
+    assert np.mean(diffs) < 1e-6
+    # updated state keeps its TP placement (no gather back to replicated)
+    k = s_state.gen.params["down1"]["conv1"]["kernel"]
+    assert k.sharding.spec == P(None, None, None, "model")
+
+
+def test_api_tensor_parallel_serving(tmp_path, rng):
+    """WeatherTransfer(tensor_parallel=True) matches the single-device API
+    byte-for-byte on the uint8 wire (modulo one rounding step)."""
+    from weather_unet_tpu.api import WeatherTransfer
+    from weather_unet_tpu.parallel.mesh import make_mesh
+    from weather_unet_tpu.train import checkpoint as ckpt
+    from weather_unet_tpu.train.gan import GanConfig, build_gan_state
+
+    cfg = GanConfig(input_size=32)
+    _, _, state = build_gan_state(cfg, jax.random.key(0))
+    path = str(tmp_path / "g.pt")
+    ckpt.export_torch_gan(path, {"params": state.gen.params},
+                          {"params": state.disc.params,
+                           "spectral": state.spectral}, 0, 0)
+
+    ref = WeatherTransfer.load(path)
+    plan = make_mesh(jax.devices()[:4], data=2, model=2)
+    wt = WeatherTransfer.load(path, plan=plan, tensor_parallel=True)
+    k = wt.variables["params"]["down1"]["conv1"]["kernel"]
+    assert k.sharding.spec == P(None, None, None, "model")
+
+    imgs = rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8)
+    conds = np.eye(5, dtype=np.float32)[rng.integers(0, 5, 4)]
+    a = np.asarray(ref.translate_u8(imgs, conds)).astype(np.int16)
+    b = np.asarray(wt.translate_u8(imgs, conds)).astype(np.int16)
+    assert np.abs(a - b).max() <= 1
+
+    # misuse guard: TP without a model axis is refused
+    import pytest
+    with pytest.raises(ValueError, match="tensor_parallel"):
+        WeatherTransfer.load(path, tensor_parallel=True)

@@ -31,13 +31,33 @@ class WeatherTransfer:
     are batch-sharded over the ``'data'`` axis, and each forward runs SPMD
     with no collectives in the hot path (the cUNet has no cross-sample
     coupling in eval mode).
+
+    ``tensor_parallel=True`` additionally channel-shards the conv weights
+    over the plan's ``'model'`` axis (Megatron column/row split on the
+    double-conv pairs — ``parallel/tp.py``): per-chip weight memory and
+    per-conv FLOPs drop by the axis size at the cost of one ``psum`` per
+    double conv, which is the latency-oriented layout when a single request
+    must finish fast on a multi-chip host.
     """
 
-    def __init__(self, model, variables, plan=None, aot_cache=None):
+    def __init__(self, model, variables, plan=None, aot_cache=None,
+                 tensor_parallel: bool = False):
         self.model = model
         self.plan = plan
+        if tensor_parallel and (
+                plan is None or plan.mesh.shape["model"] < 2):
+            raise ValueError(
+                "tensor_parallel requires a MeshPlan with a 'model' axis of "
+                ">= 2 devices (make_mesh(model=K))")
+        self._vsh = None
         if plan is not None:
-            variables = jax.device_put(variables, plan.replicated())
+            if tensor_parallel:
+                from weather_unet_tpu.parallel.tp import tp_shardings
+
+                self._vsh = tp_shardings(plan, variables)
+            else:
+                self._vsh = plan.replicated()
+            variables = jax.device_put(variables, self._vsh)
         self.variables = variables
 
         def _fwd(variables, x, c):
@@ -68,7 +88,7 @@ class WeatherTransfer:
         # and bloat every serialized executable with the weights.
         from weather_unet_tpu.core.aot import AotCache, AotJit, BoundFn
 
-        vsh = plan.replicated() if plan is not None else None
+        vsh = self._vsh
         bsh = plan.batch() if plan is not None else None
         kw2 = (dict(in_shardings=(vsh, bsh, bsh), out_shardings=bsh)
                if plan is not None else None)
@@ -86,7 +106,7 @@ class WeatherTransfer:
 
     @classmethod
     def load(cls, cp_path: str, num_classes: int = 5, dtype=jnp.float32,
-             plan=None, aot_cache=None):
+             plan=None, aot_cache=None, tensor_parallel: bool = False):
         """Load from a reference ``.pt`` GAN bundle or our msgpack checkpoint.
 
         ``aot_cache``: directory (or :class:`~weather_unet_tpu.core.aot.
@@ -97,7 +117,8 @@ class WeatherTransfer:
 
         model, variables = load_transfer(cp_path, num_classes=num_classes,
                                          dtype=dtype)
-        return cls(model, variables, plan=plan, aot_cache=aot_cache)
+        return cls(model, variables, plan=plan, aot_cache=aot_cache,
+                   tensor_parallel=tensor_parallel)
 
     def translate(self, images, conditions, *, bucket: bool = True):
         """(B,H,W,3) in [-1,1] + (B,num_classes) conditions -> translated.

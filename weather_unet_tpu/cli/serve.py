@@ -297,12 +297,15 @@ def build_server(args) -> ThreadingHTTPServer:
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     plan = None
-    if args.data_parallel:
+    tp = max(args.tensor_parallel, 1)
+    if args.data_parallel or tp > 1:
         from weather_unet_tpu.parallel.mesh import make_mesh
 
-        plan = make_mesh()   # params replicated once, batches over 'data'
+        # params replicated once, batches over 'data'; with --tensor_parallel
+        # the 'model' axis channel-shards the conv weights (parallel/tp.py)
+        plan = make_mesh(model=tp)
     wt = WeatherTransfer.load(args.cp_path, num_classes=args.num_classes,
-                              dtype=dtype, plan=plan,
+                              dtype=dtype, plan=plan, tensor_parallel=tp > 1,
                               aot_cache=args.aot_cache)
     batcher = Batcher(wt, max_batch=args.max_batch,
                       batch_wait_ms=args.batch_wait_ms)
@@ -348,6 +351,12 @@ def build_parser():
     p.add_argument("--data_parallel", action="store_true",
                    help="serve over all visible devices (batch sharded on the "
                         "mesh 'data' axis, params replicated)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="channel-shard conv weights K-way over the mesh "
+                        "'model' axis (Megatron column/row split per double "
+                        "conv — parallel/tp.py); remaining devices form the "
+                        "'data' axis. Latency-oriented layout for multi-chip "
+                        "hosts")
     p.add_argument("--no-warmup", dest="warmup", action="store_false")
     p.add_argument("--aot_cache", type=str, default=None,
                    help="directory for serialized compiled executables; a "

@@ -7,10 +7,12 @@ along the ``'data'`` axis (ICI), parameters are replicated, and XLA inserts
 the ``psum`` gradient all-reduce automatically when a jitted step consumes
 sharded batches and produces replicated parameter updates.
 
-A ``'model'`` axis is reserved as a design seam for tensor-parallel layouts
-(conv channel sharding); with these model sizes (<60M params) it stays size 1
-in practice — SURVEY.md §2.9 records that TP/PP/SP/EP are intentionally not
-needed for parity.
+The ``'model'`` axis carries the two scaling layouts beyond DP: spatial
+partitioning (image height sharded, :meth:`MeshPlan.spatial` — conv halo
+exchanges inserted by the partitioner) and tensor parallelism (conv channels
+Megatron-split per double-conv pair, ``parallel/tp.py``).  PP/EP have no
+counterpart in this model family (SURVEY.md §2.9) and are intentionally
+absent.
 """
 
 from __future__ import annotations
