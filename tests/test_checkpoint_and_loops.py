@@ -205,6 +205,45 @@ def test_gan_trainer_nan_guard(tmp_path):
     assert not tr2._maybe_rollback()
 
 
+def test_preemption_never_checkpoints_diverged_state(tmp_path):
+    """A SIGTERM arriving while the state is non-finite (nan_guard on) must
+    NOT write the diverged state as the newest checkpoint — it would poison
+    both auto-resume and the rollback target.  Without nan_guard the
+    preemption save is unconditional (reference-equivalent behavior)."""
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    rng = np.random.default_rng(0)
+
+    class FakeLoader:
+        def __iter__(self):
+            for _ in range(2):
+                yield (rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+                       rng.standard_normal((4, 5)).astype(np.float32))
+
+    class Stop:
+        requested = True
+        signum = 15
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    cfg = GanConfig(input_size=32, batch_size=4, num_epoch=1)
+    tr = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path), name="p",
+        log_dir=str(tmp_path / "runs"), nan_guard=True)
+    tr._last_metrics = {"d_loss": jnp.float32(np.nan)}
+    assert tr.train_epoch(FakeLoader(), FakeLoader(), stop=Stop()) is False
+    assert ckpt.latest_checkpoint(str(tmp_path), "p") is None   # not saved
+
+    # guard off: the preemption save happens even with NaN metrics
+    tr2 = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path), name="p2",
+        log_dir=str(tmp_path / "runs2"))
+    tr2._last_metrics = {"d_loss": jnp.float32(np.nan)}
+    assert tr2.train_epoch(FakeLoader(), FakeLoader(), stop=Stop()) is False
+    assert ckpt.latest_checkpoint(str(tmp_path), "p2") is not None
+
+
 def test_gan_trainer_gd_ratio(tmp_path):
     """GD_train_ratio=2: G updates only on even global steps
     (t_est_train.py:390: ``global_step % GD_train_ratio == 0``)."""

@@ -31,6 +31,44 @@ def test_is_multiprocess_env(monkeypatch):
     assert launch.is_multiprocess()
 
 
+def test_cpu_devices_overrides_existing_xla_flag(monkeypatch):
+    """WUT_CPU_DEVICES must WIN over a pre-existing host-device-count in
+    XLA_FLAGS (the test/verify shells export =8): appending-if-absent left
+    spawned ranks with the wrong device count and a misleading make_mesh
+    divisibility failure downstream."""
+    monkeypatch.setenv(
+        "XLA_FLAGS",
+        "--xla_force_host_platform_device_count=8 --xla_cpu_foo=1")
+    monkeypatch.setenv("WUT_CPU_DEVICES", "4")
+    monkeypatch.setenv("WUT_NUM_PROCESSES", "1")
+    assert launch.maybe_initialize() is False
+    flags = os.environ["XLA_FLAGS"]
+    assert "--xla_force_host_platform_device_count=4" in flags
+    assert "--xla_force_host_platform_device_count=8" not in flags
+    assert "--xla_cpu_foo=1" in flags   # unrelated flags preserved
+
+
+def test_barrier_timeout_env(monkeypatch):
+    """WUT_BARRIER_TIMEOUT_S overrides the default lockstep barrier budget
+    (large GAN-step variants compile longer than 1800 s)."""
+    captured = {}
+
+    class FakeClient:
+        def wait_at_barrier(self, name, timeout_in_ms):
+            captured["name"] = name
+            captured["ms"] = timeout_in_ms
+
+    from jax._src import distributed
+
+    monkeypatch.setattr(distributed.global_state, "client", FakeClient(),
+                        raising=False)
+    monkeypatch.setenv("WUT_BARRIER_TIMEOUT_S", "3600")
+    launch.barrier("x")
+    assert captured["ms"] == 3600 * 1000
+    launch.barrier("x", timeout_s=10.0)   # explicit arg wins
+    assert captured["ms"] == 10 * 1000
+
+
 def test_launcher_cli_requires_command():
     with pytest.raises(SystemExit):
         launch.main(["-n", "2", "--"])

@@ -56,6 +56,10 @@ def test_batcher_groups_and_matches_direct(cp_path, rng):
     stats = batcher.stats()
     assert stats["requests"] == 6
     assert stats["batches"] < 6  # grouping happened
+    # pipelined-latency accounting: end-to-end group latency includes
+    # queueing behind the previous readback; readback_ms isolates the
+    # group's own completion share
+    assert stats["readback_ms_p50"] <= stats["batch_ms_p50"] + 1e-6
 
 
 def test_server_data_parallel(cp_path, rng):

@@ -79,6 +79,7 @@ class Batcher:
         self.n_batches = 0
         self.batch_sizes: list = []
         self.batch_ms: list = []
+        self.readback_ms: list = []
         self._dispatcher = threading.Thread(target=self._dispatch_loop,
                                             daemon=True)
         self._completer = threading.Thread(target=self._complete_loop,
@@ -131,6 +132,7 @@ class Batcher:
     def _complete_loop(self):
         while True:
             group, out, err, t0 = self._inflight.get()
+            t1 = time.perf_counter()
             if err is None:
                 try:
                     host = np.asarray(out)     # blocks: compute + D2H
@@ -141,28 +143,41 @@ class Batcher:
             if err is not None:
                 for r in group:
                     r.error = err
-            dt_ms = (time.perf_counter() - t0) * 1e3
+            now = time.perf_counter()
+            # batch_ms = dispatch -> responses ready.  Under pipelined load
+            # this INCLUDES time queued behind the previous group's readback
+            # (true end-to-end group latency); readback_ms isolates this
+            # group's own compute-completion + D2H + distribution cost.
+            dt_ms = (now - t0) * 1e3
+            rb_ms = (now - t1) * 1e3
             with self.lock:
                 self.n_requests += len(group)
                 self.n_batches += 1
                 self.batch_sizes.append(len(group))
                 self.batch_ms.append(dt_ms)
+                self.readback_ms.append(rb_ms)
                 if len(self.batch_ms) > 1000:
                     self.batch_ms.pop(0)
                     self.batch_sizes.pop(0)
+                    self.readback_ms.pop(0)
             for r in group:
                 r.event.set()
 
     def stats(self) -> dict:
         with self.lock:
             ms = np.asarray(self.batch_ms) if self.batch_ms else np.zeros(1)
+            rb = (np.asarray(self.readback_ms) if self.readback_ms
+                  else np.zeros(1))
             sizes = self.batch_sizes[:]
             return {
                 "requests": self.n_requests,
                 "batches": self.n_batches,
                 "mean_batch_size": float(np.mean(sizes)) if sizes else 0.0,
+                # dispatch -> responses ready (includes pipeline queueing)
                 "batch_ms_p50": float(np.percentile(ms, 50)),
                 "batch_ms_p90": float(np.percentile(ms, 90)),
+                # this group's own completion+D2H+distribute share
+                "readback_ms_p50": float(np.percentile(rb, 50)),
             }
 
 

@@ -221,12 +221,33 @@ class AotJit:
         self._cache = cache
         self._jit_kwargs = jit_kwargs
         self._exes: dict = {}
+        # id -> (container, fragment): identity-keyed memo for container
+        # args.  Serving passes the SAME variables dict on every dispatch
+        # (api.BoundFn); walking its hundreds of param leaves per request
+        # group is pure waste.  Only dicts are memoized (arrays are new
+        # objects each call), and the strong container ref pins the id.
+        # Assumes bound containers are not mutated in place (they never are
+        # here: weights change only by constructing a new WeatherTransfer).
+        self._frag: dict = {}
 
     @staticmethod
-    def _shape_key(args) -> tuple:
+    def _leaf_key(tree) -> tuple:
         return tuple(
             (getattr(l, "shape", ()), str(getattr(l, "dtype", type(l))))
-            for l in jax.tree_util.tree_leaves(args))
+            for l in jax.tree_util.tree_leaves(tree))
+
+    def _shape_key(self, args) -> tuple:
+        frags = []
+        for a in args:
+            if isinstance(a, dict):
+                ent = self._frag.get(id(a))
+                if ent is None or ent[0] is not a:
+                    ent = (a, self._leaf_key(a))
+                    self._frag[id(a)] = ent
+                frags.append(ent[1])
+            else:
+                frags.append(self._leaf_key(a))
+        return tuple(frags)
 
     def __call__(self, *args):
         key = self._shape_key(args)

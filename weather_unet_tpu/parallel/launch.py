@@ -61,11 +61,19 @@ def maybe_initialize() -> bool:
     n = int(os.environ.get("WUT_NUM_PROCESSES", "1"))
     cpu_devices = os.environ.get("WUT_CPU_DEVICES")
     if cpu_devices:
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + f" --xla_force_host_platform_device_count={int(cpu_devices)}"
-            ).strip()
+        import re
+
+        # WUT_CPU_DEVICES wins over any pre-existing host-device-count flag:
+        # a shell that exported XLA_FLAGS=...device_count=8 (the test/verify
+        # workflow) would otherwise silently give every spawned rank 8
+        # devices instead of the requested count, and make_mesh would then
+        # fail with a misleading divisibility error.
+        flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                       os.environ.get("XLA_FLAGS", ""))
+        os.environ["XLA_FLAGS"] = (
+            flags.strip()
+            + f" --xla_force_host_platform_device_count={int(cpu_devices)}"
+        ).strip()
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -109,7 +117,7 @@ def process_slice(global_batch_size: int) -> slice:
     return slice(pid * per, (pid + 1) * per)
 
 
-def barrier(name: str, timeout_s: float = 1800.0) -> None:
+def barrier(name: str, timeout_s: Optional[float] = None) -> None:
     """Block until every process reaches this barrier.
 
     Pure coordination-service RPC (process 0's coordinator) — no device
@@ -117,12 +125,20 @@ def barrier(name: str, timeout_s: float = 1800.0) -> None:
     compiled programs.  No-op single-process.  Each barrier id is one-shot
     in the coordination service; callers must use a fresh ``name`` per
     rendezvous (:class:`LockstepCompile` derives unique ids).
+
+    Default timeout is 1800 s, overridable via ``WUT_BARRIER_TIMEOUT_S`` —
+    the lockstep compile barrier must outlast the slowest rank-0 compile,
+    and large GAN-step variants have measured ~25 min compiles (CLAUDE.md);
+    a variant crossing the default would otherwise kill every peer with
+    DEADLINE_EXCEEDED mid-startup.
     """
     from jax._src import distributed
 
     client = distributed.global_state.client
     if client is None:
         return
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("WUT_BARRIER_TIMEOUT_S", "1800"))
     client.wait_at_barrier(f"wut:{name}", timeout_in_ms=int(timeout_s * 1000))
 
 

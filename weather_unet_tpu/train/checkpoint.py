@@ -34,10 +34,19 @@ def save_checkpoint(directory: str, name: str, step: int, tree: Any) -> str:
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"ckpt_s{step:010d}.msgpack")
     data = serialization.to_bytes(_to_host(tree))
-    # pid-unique staging name: under multi-controller JAX every rank writes
-    # the (identical, replicated) checkpoint to the same shared-fs path; a
-    # shared ".tmp" would interleave concurrent writers
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # Unique staging name: under multi-controller JAX every rank writes the
+    # (identical, replicated) checkpoint to the same shared-fs path; a shared
+    # ".tmp" would interleave concurrent writers.  A pid alone is NOT unique
+    # across hosts (containerized ranks routinely share pids), so include the
+    # JAX process index and a random token — colliding staged files would
+    # make one rank's os.replace fail after another's succeeded.
+    import uuid
+
+    try:
+        proc = jax.process_index()
+    except Exception:  # before distributed init / no backend
+        proc = 0
+    tmp = f"{path}.tmp.p{proc}.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)

@@ -29,6 +29,38 @@ from weather_unet_tpu.train.metrics import SummaryWriter, run_comment
 from weather_unet_tpu.train.preemption import GracefulShutdown
 
 
+def _tiered_steps(fns_names, step_kw, aot_cache):
+    """Compile-tier selection shared by both training loops.
+
+    ``fns_names`` is a list of ``(fn, lockstep_name)``; returns
+    ``(callables, cache)`` where ``cache`` is the shared
+    :class:`~weather_unet_tpu.core.aot.AotCache` (or None).
+
+    With ``aot_cache`` set, steps go through the serialized-executable disk
+    tier: a restarted run loads the step programs from disk instead of
+    re-paying XLA compilation (the dominant cold-start term for the GAN step
+    — ~25 min over the tunnel; the persistent XLA cache skips TPU
+    executables, and AOT removes the compile but not the tunnel's ~4 min
+    constant per-process program-load — bench_aot.py).  Multi-process runs
+    refuse the AOT tier: its cache-hit validation executes the loaded
+    program on dummies, and a mixed hit/miss rank set would dispatch a
+    collective some ranks never join (wedge) — lockstep-compiled jits
+    (parallel/launch.py) handle that case instead.
+    """
+    if aot_cache is not None and jax.process_count() > 1:
+        print("WARNING: --aot_cache is single-process only; ignoring it "
+              "for this multi-process run", flush=True)
+        aot_cache = None
+    if aot_cache is not None:
+        from weather_unet_tpu.core.aot import AotCache, AotJit
+
+        cache = (aot_cache if isinstance(aot_cache, AotCache)
+                 else AotCache(aot_cache))
+        return [AotJit(fn, cache, step_kw) for fn, _ in fns_names], cache
+    return [lockstep_compile(jax.jit(fn, **step_kw), name)
+            for fn, name in fns_names], None
+
+
 class WeatherTransferTrainer:
     """GAN weather-transfer training (reference ``t_est_train.py`` /
     ``t_cls_train.py`` drivers).
@@ -98,37 +130,10 @@ class WeatherTransferTrainer:
             in_shardings=(rsh, bsh, bsh, bsh, bsh, rsh, rsh),
             out_shardings=(rsh, rsh),
             donate_argnums=(0,))  # state buffers reused in place
-        if aot_cache is not None and jax.process_count() > 1:
-            # The AOT tier's cache-hit validation executes the loaded program
-            # on dummies; with mixed hit/miss across ranks that dispatches a
-            # collective some ranks never join (wedge).  Multi-process runs
-            # use lockstep-compiled jits instead (parallel/launch.py).
-            print("WARNING: --aot_cache is single-process only; ignoring it "
-                  "for this multi-process run", flush=True)
-            aot_cache = None
-        if aot_cache is not None:
-            # Serialized-executable tier: a restarted run loads the step
-            # programs from disk instead of re-paying XLA compilation (the
-            # dominant cold-start term for the GAN step — ~25 min over the
-            # tunnel; the persistent XLA cache skips TPU executables.
-            # bench_aot.py: AOT removes the compile but not the tunnel's
-            # ~4 min constant per-process program-load).
-            from weather_unet_tpu.core.aot import AotCache, AotJit
-
-            self.aot = (aot_cache if isinstance(aot_cache, AotCache)
-                        else AotCache(aot_cache))
-            self._step_dg = AotJit(functools.partial(fused, do_g=True),
-                                   self.aot, shardings)
-            self._step_d = AotJit(functools.partial(fused, do_g=False),
-                                  self.aot, shardings)
-        else:
-            self.aot = None
-            self._step_dg = lockstep_compile(
-                jax.jit(functools.partial(fused, do_g=True), **shardings),
-                "gan_step_dg")
-            self._step_d = lockstep_compile(
-                jax.jit(functools.partial(fused, do_g=False), **shardings),
-                "gan_step_d")
+        (self._step_dg, self._step_d), self.aot = _tiered_steps(
+            [(functools.partial(fused, do_g=True), "gan_step_dg"),
+             (functools.partial(fused, do_g=False), "gan_step_d")],
+            shardings, aot_cache)
         self._eval = lockstep_compile(
             jax.jit(make_eval_step(self.gen, self.disc, est_apply, cfg)),
             "gan_eval")
@@ -218,6 +223,18 @@ class WeatherTransferTrainer:
                 # preemption notice (SIGTERM): persist at the step boundary
                 # and bail — auto-resume continues from here, not from the
                 # last 1000-step cadence save (train/preemption.py)
+                if self.nan_guard and self._nonfinite_metrics():
+                    # same invariant as the cadence path: a diverged state
+                    # must never become the newest checkpoint — it would
+                    # poison both auto-resume and the rollback target.
+                    # Skip the save; resume restores the last good cadence
+                    # checkpoint instead.
+                    print(f"preemption: signal {stop.signum} at step "
+                          f"{self._gstep}, but metrics are non-finite — NOT "
+                          f"checkpointing the diverged state (resume will "
+                          f"use the last good checkpoint)", flush=True)
+                    self._ckpt.wait()
+                    return False
                 print(f"preemption: signal {stop.signum} — checkpointing at "
                       f"step {self._gstep} and stopping", flush=True)
                 self._save()
@@ -259,6 +276,14 @@ class WeatherTransferTrainer:
         self._ckpt.wait()   # cadence saves issued this epoch are durable now
         return True
 
+    def _nonfinite_metrics(self) -> list:
+        """Names of non-finite entries in the latest step metrics (one device
+        read-back; [] when no step has run yet)."""
+        if self._last_metrics is None:
+            return []
+        vals = {k: float(v) for k, v in self._last_metrics.items()}
+        return [k for k, v in vals.items() if not np.isfinite(v)]
+
     def _maybe_rollback(self) -> bool:
         """Failure recovery for long unattended runs: when the latest step
         metrics are non-finite (bf16 overflow, GAN blow-up), restore the
@@ -270,10 +295,9 @@ class WeatherTransferTrainer:
         rewound — training continues from the current loader position, like
         a relaunch under the reference's auto-resume (t_est_train.py:151-163)
         would.  Returns True when a rollback happened."""
-        if not self.nan_guard or self._last_metrics is None:
+        if not self.nan_guard:
             return False
-        vals = {k: float(v) for k, v in self._last_metrics.items()}
-        bad = [k for k, v in vals.items() if not np.isfinite(v)]
+        bad = self._nonfinite_metrics()
         if not bad:
             return False
         self._ckpt.wait()   # the newest checkpoint may still be in flight
@@ -362,7 +386,10 @@ class WeatherTransferTrainer:
                         return
             print("Done: training")
         finally:
-            self._ckpt.wait()   # don't exit with a checkpoint mid-write
+            # join the in-flight write AND release the worker thread — a
+            # process that builds several trainers (tests, retry wrappers)
+            # must not accumulate idle ckpt threads
+            self._ckpt.close()
 
 
 def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
@@ -402,20 +429,7 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
     step_kw = dict(in_shardings=(rsh, bsh, bsh, rsh, rsh),
                    out_shardings=(rsh, rsh),
                    donate_argnums=(0,))  # state buffers reused in place
-    if aot_cache is not None and jax.process_count() > 1:
-        # see WeatherTransferTrainer: the AOT tier's hit-validation dispatch
-        # can wedge mixed hit/miss rank sets — lockstep jit instead
-        print("WARNING: --aot_cache is single-process only; ignoring it "
-              "for this multi-process run", flush=True)
-        aot_cache = None
-    if aot_cache is not None:   # serialized-executable tier (core/aot.py)
-        from weather_unet_tpu.core.aot import AotCache, AotJit
-
-        cache = (aot_cache if isinstance(aot_cache, AotCache)
-                 else AotCache(aot_cache))
-        jstep = AotJit(fused, cache, step_kw)
-    else:
-        jstep = lockstep_compile(jax.jit(fused, **step_kw), "sup_step")
+    (jstep,), _ = _tiered_steps([(fused, "sup_step")], step_kw, aot_cache)
     jeval = lockstep_compile(
         jax.jit(eval_fn, in_shardings=(rsh, rsh, bsh, bsh), out_shardings=rsh),
         "sup_eval")
