@@ -290,3 +290,20 @@ def test_train_transfer_est_image_only(world, tmp_path):
         "--input_size", "32", "--batch_size", "4", "--num_epoch", "1",
         "--num_workers", "2", "--dtype", "bf16"])   # also: bf16 flag plumbing
     assert (tmp_path / "runs").exists()
+
+
+def test_doctor_cli(capsys):
+    """wut-doctor: environment diagnostics (device, mesh, caches, native
+    runtime) in both human and JSON form; --probe times a real dispatch."""
+    import json
+
+    from weather_unet_tpu.cli import doctor
+
+    assert doctor.main(["--json", "--probe"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["device_count"] == 8           # conftest's virtual CPU mesh
+    assert info["platform"] == "cpu"
+    assert info["default_mesh"]["data"] >= 1
+    assert "available" in info["native_runtime"]
+    assert "entries" in info["xla_compile_cache"]
+    assert info["probe_roundtrip_ms"] >= 0.0
