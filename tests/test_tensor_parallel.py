@@ -170,6 +170,33 @@ def test_gan_step_tensor_parallel(rng):
     assert k.sharding.spec == P(None, None, None, "model")
 
 
+def test_tp_forward_collective_count():
+    """The communication cost claim, pinned at the HLO level: the TP cUNet
+    forward contains EXACTLY one all-reduce per sharded double-conv block
+    (7: down1-4 + up1-3) and no resharding collectives — conv1's
+    column-sharded output feeds conv2's row-sharded contraction directly."""
+    import re
+
+    plan = _mesh(data=2, model=2)
+    model = ConditionalUNet(num_classes=5)
+    x = jnp.zeros((4, 64, 64, 3))
+    c = jnp.zeros((4, 5))
+    v = model.init(jax.random.key(0), x[:1], c[:1])
+    vsh = tp_shardings(plan, v)
+    bsh = plan.batch()
+    f = jax.jit(lambda v, x, c: model.apply(v, x, c),
+                in_shardings=(vsh, bsh, bsh), out_shardings=bsh)
+    hlo = f.lower(v, x, c).compile().as_text()
+
+    def count(op):
+        return len(re.findall(rf"\b{op}(?:-start)?\(", hlo))
+
+    assert count("all-reduce") == 7
+    for op in ("all-gather", "all-to-all", "reduce-scatter",
+               "collective-permute"):
+        assert count(op) == 0, op
+
+
 def test_api_tensor_parallel_serving(tmp_path, rng):
     """WeatherTransfer(tensor_parallel=True) matches the single-device API
     byte-for-byte on the uint8 wire (modulo one rounding step)."""
