@@ -197,6 +197,91 @@ def test_tp_forward_collective_count():
         assert count(op) == 0, op
 
 
+def test_make_mesh_refuses_oversized_model_axis():
+    """model axis > device count must be a clear error, not an empty mesh
+    surfacing later as jit's 'empty NamedSharding' (found driving the CLI
+    on a 1-device backend with --tensor_parallel 2)."""
+    import pytest
+    from weather_unet_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="model axis"):
+        make_mesh(jax.devices()[:1], model=2, batch_size=8)
+    with pytest.raises(ValueError, match="does not fit"):
+        make_mesh(jax.devices()[:4], data=3, model=2)
+
+
+def test_trainer_tensor_parallel(tmp_path):
+    """WeatherTransferTrainer(tensor_parallel=True): the whole train state
+    lives channel-sharded through fit(), matches the unsharded trainer's
+    trained params, and the cadence checkpoint restores back into the TP
+    placement."""
+    from weather_unet_tpu.parallel.mesh import make_mesh
+    from weather_unet_tpu.train import checkpoint as ckpt
+    from weather_unet_tpu.train.gan import GanConfig
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    def make_loader():
+        rng = np.random.default_rng(7)
+
+        class FakeLoader:
+            def __iter__(self):
+                for _ in range(2):
+                    yield (rng.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8),
+                           rng.standard_normal((8, 5)).astype(np.float32))
+        return FakeLoader()
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    cfg = GanConfig(input_size=32, batch_size=8, num_epoch=1,
+                    dropout_rate=0.0)
+    ref = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path / "ref"), name="r",
+        log_dir=str(tmp_path / "runs"))
+    ref.EVAL_PER_STEP = 2
+    ref.DISPLAY_PER_STEP = 2
+    ref.fit(make_loader, make_loader)
+
+    plan = make_mesh(model=2, batch_size=8)
+    tr = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path / "tp"), name="t",
+        log_dir=str(tmp_path / "runs"), plan=plan, tensor_parallel=True)
+    tr.EVAL_PER_STEP = 2
+    tr.DISPLAY_PER_STEP = 2
+    # state is genuinely distributed before and after training
+    k = tr.state.gen.params["down1"]["conv1"]["kernel"]
+    assert k.sharding.spec == P(None, None, None, "model")
+    tr.fit(make_loader, make_loader)
+    k = tr.state.gen.params["down1"]["conv1"]["kernel"]
+    assert k.sharding.spec == P(None, None, None, "model")
+    assert k.addressable_shards[0].data.shape[3] == 64 // 2
+
+    # same data, same seeds: TP training tracks the unsharded trainer (see
+    # test_gan_step_tensor_parallel for the beta1=0 near-zero-grad bound)
+    diffs = np.concatenate([
+        np.abs(np.asarray(a) - np.asarray(b)).ravel()
+        for a, b in zip(jax.tree.leaves(ref.state.gen.params),
+                        jax.tree.leaves(tr.state.gen.params))])
+    assert diffs.max() <= 2 * 3 * cfg.lr   # 2 optimizer steps
+    assert np.mean(diffs) < 1e-5
+
+    # the cadence checkpoint restores into the TP placement
+    assert ckpt.latest_checkpoint(str(tmp_path / "tp"), "t") is not None
+    tr2 = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path / "tp"), name="t",
+        log_dir=str(tmp_path / "runs"), plan=plan, tensor_parallel=True)
+    assert int(tr2.state.global_step) == 2
+    k2 = tr2.state.gen.params["down1"]["conv1"]["kernel"]
+    assert k2.sharding.spec == P(None, None, None, "model")
+
+    # misuse guard: TP on a model-axis-1 mesh is refused
+    import pytest
+    with pytest.raises(ValueError, match="tensor_parallel"):
+        WeatherTransferTrainer(
+            cfg, est_apply, save_dir=str(tmp_path / "x"), name="x",
+            log_dir=str(tmp_path / "runs"), tensor_parallel=True)
+
+
 def test_api_tensor_parallel_serving(tmp_path, rng):
     """WeatherTransfer(tensor_parallel=True) matches the single-device API
     byte-for-byte on the uint8 wire (modulo one rounding step)."""

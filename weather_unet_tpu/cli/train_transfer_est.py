@@ -42,6 +42,11 @@ def build_parser():
                    help="directory for serialized compiled step executables; "
                         "a restarted run skips the multi-minute XLA step "
                         "compile (core/aot.py)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="channel-shard the WHOLE train state K-way over the "
+                        "mesh 'model' axis (Megatron column/row split per "
+                        "double conv, parallel/tp.py); remaining devices "
+                        "form the 'data' axis")
     p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
                    help="compute dtype for the train step (params stay f32); "
                         "bf16 is the measured TPU config — 305 img/s at "
@@ -136,11 +141,18 @@ def main(argv=None):
                        jnp.asarray(conds)))
         test_batches = tuple(tb)
 
+    plan = None
+    if args.tensor_parallel > 1:
+        from weather_unet_tpu.parallel.mesh import make_mesh
+
+        plan = make_mesh(model=args.tensor_parallel,
+                         batch_size=args.batch_size)
     trainer = WeatherTransferTrainer(
         cfg, est_apply, save_dir=args.save_dir, name=args.name,
         log_dir=args.log_dir, augment=args.augmentation,
         export_torch=args.export_torch, nan_guard=args.nan_guard,
-        aot_cache=args.aot_cache)
+        aot_cache=args.aot_cache, plan=plan,
+        tensor_parallel=args.tensor_parallel > 1)
     trainer.fit(train_loader, random_loader, test_batches=test_batches)
 
 

@@ -73,11 +73,20 @@ def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
     (a batch of 4 on an 8-device host trains 4-way data-parallel, matching
     the reference's small default batches — ``t_est_train.py:24``)."""
     devices = list(devices if devices is not None else jax.devices())
+    if model < 1 or model > len(devices):
+        raise ValueError(
+            f"model axis {model} does not fit the {len(devices)} available "
+            f"device(s); reduce --tensor_parallel / the spatial degree or "
+            f"run on a larger slice")
     if data is None:
         data = len(devices) // model
         if batch_size is not None:
             while data > 1 and batch_size % data != 0:
                 data -= 1
+    if data < 1 or data * model > len(devices):
+        raise ValueError(
+            f"mesh (data={data} x model={model}) does not fit the "
+            f"{len(devices)} available device(s)")
     if jax.process_count() > 1 and data * model != len(devices):
         # A devices[:k] subset under multi-controller JAX is process-lopsided
         # (device order groups by process): some process would own zero mesh
@@ -100,7 +109,7 @@ def replicated_sharding(plan: MeshPlan) -> NamedSharding:
     return plan.replicated()
 
 
-def put_host_local(sharding: NamedSharding, tree):
+def put_host_local(sharding, tree):
     """``device_put`` a host value onto a possibly CROSS-PROCESS sharding.
 
     Under multi-controller JAX a sharding that spans other hosts' devices is
@@ -111,13 +120,28 @@ def put_host_local(sharding: NamedSharding, tree):
     (``host_local_array_to_global_array``).  Single-process, the local view
     IS the global value and this is exactly ``device_put``.  Works on
     pytrees and typed PRNG-key arrays.
+
+    ``sharding`` may be a single :class:`NamedSharding` (applied to every
+    leaf) or a pytree of shardings matching ``tree`` (e.g. the
+    tensor-parallel state layout from ``parallel/tp.py``).
     """
     import jax
 
+    is_tree = not isinstance(sharding, jax.sharding.Sharding)
     if jax.process_count() == 1:
+        if is_tree:
+            return jax.device_put(tree, sharding)   # matching pytrees
         return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
     from jax.experimental import multihost_utils as mhu
 
+    if is_tree:
+        mesh = jax.tree.leaves(
+            sharding, is_leaf=lambda s: isinstance(s, jax.sharding.Sharding)
+        )[0].mesh
+        specs = jax.tree.map(
+            lambda s: s.spec, sharding,
+            is_leaf=lambda s: isinstance(s, jax.sharding.Sharding))
+        return mhu.host_local_array_to_global_array(tree, mesh, specs)
     return mhu.host_local_array_to_global_array(
         tree, sharding.mesh, sharding.spec)
 

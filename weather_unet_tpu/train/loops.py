@@ -81,12 +81,29 @@ class WeatherTransferTrainer:
                  plan: Optional[MeshPlan] = None, seed: int = 0,
                  export_torch: bool = False, profile_dir: Optional[str] = None,
                  nan_guard: bool = False, max_rollbacks: int = 3,
-                 aot_cache: Optional[str] = None):
+                 aot_cache: Optional[str] = None,
+                 tensor_parallel: bool = False):
         self.cfg = cfg
         self.name = name
         self.save_dir = save_dir
         self.export_torch = export_torch
         self.plan = plan or make_mesh(batch_size=cfg.batch_size)
+        # Tensor-parallel training: the WHOLE train state (params, Adam
+        # moments, spectral u) lives channel-sharded over the mesh 'model'
+        # axis (parallel/tp.py); the step's gradient math runs on the shards
+        # and GSPMD inserts the per-double-conv psums.  Single-controller
+        # only: checkpointing reads the state back host-side, which needs
+        # every shard addressable from this process.
+        self.tensor_parallel = (tensor_parallel
+                                and self.plan.mesh.shape["model"] > 1)
+        if tensor_parallel and self.plan.mesh.shape["model"] < 2:
+            raise ValueError(
+                "tensor_parallel requires a mesh with a 'model' axis of >= 2 "
+                "devices (make_mesh(model=K))")
+        if self.tensor_parallel and jax.process_count() > 1:
+            raise ValueError(
+                "tensor-parallel training is single-controller only "
+                "(checkpointing needs the full state addressable)")
         self.writer = SummaryWriter(
             log_dir, comment=run_comment(cfg.lr, cfg.batch_size, cfg.num_epoch, name))
 
@@ -95,6 +112,12 @@ class WeatherTransferTrainer:
 
         step = make_gan_step(self.gen, self.disc, est_apply, cfg)
         bsh, rsh = self.plan.batch(), self.plan.replicated()
+        if self.tensor_parallel:
+            from weather_unet_tpu.parallel.tp import tp_shardings
+
+            self._ssh = tp_shardings(self.plan, self.state)
+        else:
+            self._ssh = rsh
 
         # Default: augmentation happens on HOST in the loader threads
         # (data.transforms.HostAugment, the reference's CPU-worker design) —
@@ -127,8 +150,8 @@ class WeatherTransferTrainer:
                         do_g=do_g)
 
         shardings = dict(
-            in_shardings=(rsh, bsh, bsh, bsh, bsh, rsh, rsh),
-            out_shardings=(rsh, rsh),
+            in_shardings=(self._ssh, bsh, bsh, bsh, bsh, rsh, rsh),
+            out_shardings=(self._ssh, rsh),
             donate_argnums=(0,))  # state buffers reused in place
         (self._step_dg, self._step_d), self.aot = _tiered_steps(
             [(functools.partial(fused, do_g=True), "gan_step_dg"),
@@ -138,7 +161,7 @@ class WeatherTransferTrainer:
             jax.jit(make_eval_step(self.gen, self.disc, est_apply, cfg)),
             "gan_eval")
 
-        self.state = put_host_local(rsh, self.state)
+        self.state = put_host_local(self._ssh, self.state)
         self._base_key = put_host_local(rsh, jax.random.key(seed + 1))
         self._rng = jax.random.key(seed + 2)   # cold paths (evaluate)
         self.scalar_dict = {}
@@ -311,7 +334,7 @@ class WeatherTransferTrainer:
         self._rollbacks += 1
         rsh = self.plan.replicated()
         self.state = put_host_local(
-            rsh, ckpt.restore_checkpoint(path, self.state))
+            self._ssh, ckpt.restore_checkpoint(path, self.state))
         self._gstep = int(self.state.global_step)
         self._base_key = put_host_local(
             rsh, jax.device_get(
