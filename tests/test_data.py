@@ -133,6 +133,51 @@ def test_batch_loader_and_prefetch(flickr_root):
     assert isinstance(pids, np.ndarray) and pids.dtype == object
 
 
+def test_set_epoch_reshuffles_per_epoch():
+    """set_epoch makes the shuffle a pure function of (seed, epoch): fresh
+    order every epoch (reference torch DataLoader reshuffles each epoch),
+    reproducible across identically-seeded loaders (multi-host contract)."""
+    class Idx:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return (i,)
+
+    def order(loader):
+        return [int(x) for b in loader for x in b[0]]
+
+    a = BatchLoader(Idx(), batch_size=4, shuffle=True, num_workers=1, seed=3)
+    b = BatchLoader(Idx(), batch_size=4, shuffle=True, num_workers=1, seed=3)
+    assert order(a) == order(b)   # identical construction replays
+
+    a.set_epoch(0)
+    o0 = order(a)
+    a.set_epoch(1)
+    o1 = order(a)
+    assert o0 != o1                       # epochs differ
+    assert sorted(o0) == sorted(o1) == list(range(16))
+    b.set_epoch(1)
+    assert order(b) == o1                 # (seed, epoch)-deterministic
+
+
+def test_sampler_set_epoch_propagates(flickr_root):
+    root, df = flickr_root
+    ds = FlickrDataset(root, df, SIGNAL_COLUMNS, out_size=None, class_id=False)
+    s1 = ImbalancedSampler(ds, num_samples=64, seed=5)
+    s2 = ImbalancedSampler(ds, num_samples=64, seed=5)
+    s1.set_epoch(3)
+    s2.set_epoch(3)
+    assert list(s1) == list(s2)
+    s2.set_epoch(4)
+    assert list(s1) != list(s2)
+    # BatchLoader.set_epoch reaches the wrapped sampler
+    loader = BatchLoader(ds, batch_size=8, sampler=s1, num_workers=1)
+    loader.set_epoch(7)
+    s2.set_epoch(7)
+    assert list(s1) == list(s2)
+
+
 def test_augment_batch_shapes_and_range(rng):
     imgs = rng.integers(0, 255, (4, 64, 64, 3), dtype=np.uint8)
     cfg = AugmentConfig(out_size=32, resized_crop=True,

@@ -50,7 +50,26 @@ class BatchLoader:
         self.sampler = sampler
         self.num_workers = max(1, num_workers)
         self.process_shard = process_shard
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
+
+    def set_epoch(self, epoch: int):
+        """Deterministically reseed the shuffle for ``epoch``.
+
+        The reference's torch DataLoader draws a fresh permutation every
+        epoch (``t_est_train.py:176-196`` via RandomSampler); a loader
+        rebuilt per epoch from a fixed ``seed`` would instead replay the
+        SAME order.  The training loops call this before each epoch with
+        the absolute epoch index, making the order a pure function of
+        ``(seed, epoch)`` — identical across hosts (the multi-process
+        ``process_shard`` contract) and reproducible under resume.
+        Propagates to the ``sampler`` when it supports ``set_epoch``.
+        """
+        self._rng = np.random.default_rng(
+            np.random.SeedSequence((self.seed, epoch)))
+        se = getattr(self.sampler, "set_epoch", None)
+        if se is not None:
+            se(epoch)
 
     def __len__(self):
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)

@@ -25,7 +25,15 @@ class ImbalancedSampler:
             counts[lb] = counts.get(lb, 0) + 1
         weights = np.asarray([1.0 / counts[lb] for lb in labels], dtype=np.float64)
         self.probs = weights / weights.sum()
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
+
+    def set_epoch(self, epoch: int):
+        """Reseed the multinomial draw for ``epoch`` — fresh draws every
+        epoch (the reference's torch.multinomial consumes the global RNG,
+        ``sampler.py:50-53``), deterministic in ``(seed, epoch)``."""
+        self._rng = np.random.default_rng(
+            np.random.SeedSequence((self.seed, epoch)))
 
     def __iter__(self):
         draw = self._rng.choice(len(self.indices), size=self.num_samples,

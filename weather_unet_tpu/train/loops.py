@@ -400,9 +400,17 @@ class WeatherTransferTrainer:
             labeled: bool = False):
         try:
             with trace(self.profile_dir), GracefulShutdown() as stop:
-                for _ in range(self.cfg.num_epoch):
+                for ep in range(self.cfg.num_epoch):
+                    # Fresh shuffle/sampler draw per epoch (reference torch
+                    # DataLoader behavior) — without this a loader rebuilt
+                    # from a fixed seed replays epoch 0's order forever.
+                    tl, rl = train_loader_fn(), random_loader_fn()
+                    for ld in (tl, rl):
+                        se = getattr(ld, "set_epoch", None)
+                        if se is not None:
+                            se(ep)
                     if not self.train_epoch(
-                            train_loader_fn(), random_loader_fn(),
+                            tl, rl,
                             test_batches=test_batches, labeled=labeled,
                             stop=stop):
                         print("Done: training (preempted)")
@@ -503,7 +511,13 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
     fields = [0] if jax.process_count() == 1 else [0, 1]
     with GracefulShutdown() as stop, ckpter:
         for epoch in range(start_epoch, num_epoch):
-            for batch in device_prefetch(train_loader_fn(), sharding=bsh,
+            tl = train_loader_fn()
+            se = getattr(tl, "set_epoch", None)
+            if se is not None:
+                # fresh shuffle/sampler draw per epoch, deterministic in the
+                # absolute epoch index so auto-resume replays the same order
+                se(epoch)
+            for batch in device_prefetch(tl, sharding=bsh,
                                          device_fields=fields):
                 if stop.requested:
                     # preemption notice: persist at the step boundary and
