@@ -94,3 +94,59 @@ def test_upsample_shift_xla_and_grad(rng):
     g2 = jax.grad(lambda x: jnp.sum(jnp.sin(
         upsample_bilinear_align_corners(x))))(x)
     assert float(jnp.abs(g1 - g2).max()) < 2e-5
+
+
+def test_upconv_fused_matches_reference(rng):
+    """Fused upsample+conv3x3 (kernels/upconv_pallas.py) == XLA
+    upsample-then-conv across shapes incl. odd H/W and O<128."""
+    from weather_unet_tpu.kernels.upconv_pallas import (
+        upsample2x_conv3x3, upsample2x_conv3x3_ref)
+
+    for (B, H, W, C, O) in ((2, 8, 8, 16, 8), (1, 16, 12, 32, 16),
+                            (2, 5, 7, 8, 4)):
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+        k = jnp.asarray(
+            0.1 * rng.standard_normal((3, 3, C, O)).astype(np.float32))
+        y = upsample2x_conv3x3(x, k, interpret=True)
+        ref = upsample2x_conv3x3_ref(x, k)
+        assert y.shape == (B, 2 * H, 2 * W, O)
+        scale = float(jnp.abs(ref).max())
+        assert float(jnp.abs(y - ref).max()) < 1e-5 * max(scale, 1.0)
+
+
+def test_upconv_fused_grad_matches(rng):
+    """The custom VJP (XLA recompute) matches reference gradients."""
+    from weather_unet_tpu.kernels.upconv_pallas import (
+        upconv_fused, upsample2x_conv3x3_ref)
+
+    x = jnp.asarray(rng.standard_normal((1, 6, 6, 8)).astype(np.float32))
+    k = jnp.asarray(0.1 * rng.standard_normal((3, 3, 8, 4)).astype(np.float32))
+    f1 = lambda x, k: jnp.sum(jnp.sin(upconv_fused(x, k, True)))
+    f2 = lambda x, k: jnp.sum(jnp.sin(upsample2x_conv3x3_ref(x, k)))
+    g1x, g1k = jax.grad(f1, argnums=(0, 1))(x, k)
+    g2x, g2k = jax.grad(f2, argnums=(0, 1))(x, k)
+    assert float(jnp.abs(g1x - g2x).max()) < 2e-5
+    assert float(jnp.abs(g1k - g2k).max()) < 2e-5
+
+
+def test_cunet_fuse_upconv_matches(rng):
+    """ConditionalUNet(fuse_upconv=True) == baseline in eval mode, same
+    param tree, and train=True falls back to the XLA formulation."""
+    from weather_unet_tpu.models import ConditionalUNet
+
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32))
+    c = jnp.asarray(np.eye(5, dtype=np.float32)[[1, 3]])
+    m0 = ConditionalUNet(num_classes=5)
+    m1 = ConditionalUNet(num_classes=5, fuse_upconv=True)
+    v = m0.init(jax.random.key(0), x[:1], c[:1])
+    assert jax.tree.structure(v) == jax.tree.structure(
+        m1.init(jax.random.key(0), x[:1], c[:1]))
+    y0 = m0.apply(v, x, c)
+    y1 = m1.apply(v, x, c)
+    assert float(jnp.abs(y0 - y1).max()) < 1e-5
+
+    # train-mode forward keeps the XLA path (dropout sits between
+    # upsample and conv there): identical to the baseline train forward
+    yt0 = m0.apply(v, x, c, train=True, rngs={"dropout": jax.random.key(7)})
+    yt1 = m1.apply(v, x, c, train=True, rngs={"dropout": jax.random.key(7)})
+    assert float(jnp.abs(yt0 - yt1).max()) == 0.0

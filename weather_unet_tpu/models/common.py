@@ -39,12 +39,18 @@ class TorchConv(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skip=None):
+    def __call__(self, x, skip=None, fused_upsample: bool = False):
         """``skip`` enables split-concat form: the kernel is declared over
         ``Cx + Cskip`` input channels and applied as ``conv(x, W[:Cx]) +
         conv(skip, W[Cx:])`` — identical to ``conv(concat(x, skip))`` without
         materializing the concat (a large HBM round trip per decoder stage;
-        +24% cUNet throughput measured on v5e)."""
+        +24% cUNet throughput measured on v5e).
+
+        ``fused_upsample`` (requires ``skip``, 3x3/pad-1/stride-1): ``x`` is
+        the LOW-RES pre-upsample map and the x-part conv runs through the
+        fused Pallas upsample+conv kernel (``kernels/upconv_pallas.py``) —
+        identical math to ``conv(concat(upsample_2x(x), skip))`` without
+        materializing the upsampled tensor."""
         in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         kh, kw = ((self.kernel_size,) * 2 if isinstance(self.kernel_size, int)
                   else tuple(self.kernel_size))
@@ -64,10 +70,19 @@ class TorchConv(nn.Module):
         if skip is None:
             return convs.conv2d(x, kernel, bias, stride=self.stride, padding=pad)
         cx = x.shape[-1]
-        out = convs.conv2d(x, kernel[:, :, :cx], bias,
-                           stride=self.stride, padding=pad)
+        if fused_upsample:
+            if (kh, kw) != (3, 3) or self.stride != 1 or pad != 1:
+                raise ValueError("fused_upsample requires a 3x3/stride-1/"
+                                 "pad-1 conv")
+            from weather_unet_tpu.kernels.upconv_pallas import upconv_fused
+
+            interpret = jax.devices()[0].platform != "tpu"
+            out = upconv_fused(x, kernel[:, :, :cx], interpret)
+        else:
+            out = convs.conv2d(x, kernel[:, :, :cx], None,
+                               stride=self.stride, padding=pad)
         out = out + convs.conv2d(skip.astype(self.dtype), kernel[:, :, cx:],
-                                 None, stride=self.stride, padding=pad)
+                                 bias, stride=self.stride, padding=pad)
         return out
 
 

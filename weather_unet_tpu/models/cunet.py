@@ -41,9 +41,10 @@ class RDoubleConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skip=None):
+    def __call__(self, x, skip=None, fused_upsample: bool = False):
         x = TorchConv(self.features, kernel_size=3, padding=1,
-                      dtype=self.dtype, name="conv1")(x, skip)
+                      dtype=self.dtype, name="conv1")(
+                          x, skip, fused_upsample=fused_upsample)
         x = nn.relu(x)
         x = TorchConv(self.features, kernel_size=3, padding=1, dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
@@ -120,6 +121,11 @@ class ConditionalUNet(nn.Module):
     dropout_rate: float = 0.3
     dtype: Any = jnp.float32
     use_pallas: bool = False   # fused AdaIN kernel (TPU serving fast path)
+    # Fused Pallas upsample+conv decoder (kernels/upconv_pallas.py): the
+    # upsampled tensor is never materialized.  Identical math & param tree;
+    # eval-mode calls only (dropout between upsample and conv is identity
+    # there) — training forwards keep the XLA formulation.
+    fuse_upconv: bool = False
 
     @nn.compact
     def __call__(self, x, c, *, train: bool = False):
@@ -142,20 +148,21 @@ class ConditionalUNet(nn.Module):
         h = max_pool_2x2(conv3)
         h = RDoubleConv(512, dtype=dt, name="down4")(h)
 
-        h = AdaINBlock(512, dtype=dt, use_pallas=self.use_pallas, name="adain3")(h, c)
-        h = upsample_bilinear_align_corners(h)
-        h = drop(h)
-        h = RDoubleConv(256, dtype=dt, name="up3")(h, skip=conv3)
+        fuse = self.fuse_upconv and not train   # dropout is identity in eval
 
-        h = AdaINBlock(256, dtype=dt, use_pallas=self.use_pallas, name="adain2")(h, c)
-        h = upsample_bilinear_align_corners(h)
-        h = drop(h)
-        h = RDoubleConv(128, dtype=dt, name="up2")(h, skip=conv2)
+        def up_block(h, feats, skip, adain_ch, idx):
+            h = AdaINBlock(adain_ch, dtype=dt, use_pallas=self.use_pallas,
+                           name=f"adain{idx}")(h, c)
+            if fuse:
+                return RDoubleConv(feats, dtype=dt, name=f"up{idx}")(
+                    h, skip=skip, fused_upsample=True)
+            h = upsample_bilinear_align_corners(h)
+            h = drop(h)
+            return RDoubleConv(feats, dtype=dt, name=f"up{idx}")(h, skip=skip)
 
-        h = AdaINBlock(128, dtype=dt, use_pallas=self.use_pallas, name="adain1")(h, c)
-        h = upsample_bilinear_align_corners(h)
-        h = drop(h)
-        h = RDoubleConv(64, dtype=dt, name="up1")(h, skip=conv1)
+        h = up_block(h, 256, conv3, 512, 3)
+        h = up_block(h, 128, conv2, 256, 2)
+        h = up_block(h, 64, conv1, 128, 1)
 
         out = TorchConv(3, kernel_size=1, padding=0, dtype=dt, name="conv_last")(h)
         return jnp.tanh(out)
