@@ -153,3 +153,34 @@ def test_resume_is_exact(tmp_path, rng):
     for a, b in zip(jax.tree.leaves(s_full.spectral),
                     jax.tree.leaves(s_res.spectral)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_api_fuse_upconv(tmp_path, rng):
+    """fuse_upconv serving path: explicit opt-in matches the XLA decoder
+    output; 'auto' resolves off-CPU/off-mesh; mesh + fused model is refused
+    (the Pallas call has no SPMD partitioning rules)."""
+    import pytest
+    from weather_unet_tpu.parallel.mesh import make_mesh
+
+    cfg = GanConfig(input_size=32)
+    gen, disc, state = build_gan_state(cfg, jax.random.key(0))
+    cp = str(tmp_path / "g.pt")
+    ckpt.export_torch_gan(cp, {"params": state.gen.params},
+                          {"params": state.disc.params,
+                           "spectral": state.spectral}, 0, 0)
+
+    wt_ref = WeatherTransfer.load(cp)                      # auto -> False on CPU
+    assert wt_ref.model.fuse_upconv is False
+    wt_fused = WeatherTransfer.load(cp, fuse_upconv=True)
+    assert wt_fused.model.fuse_upconv is True
+
+    x = wt_ref.preprocess(rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8))
+    c = jnp.eye(5)[:2]
+    np.testing.assert_allclose(np.asarray(wt_fused.translate(x, c)),
+                               np.asarray(wt_ref.translate(x, c)), atol=1e-5)
+
+    plan = make_mesh(batch_size=8)
+    with pytest.raises(ValueError, match="fuse_upconv"):
+        WeatherTransfer.load(cp, plan=plan, fuse_upconv=True)
+    # auto + mesh silently keeps the XLA decoder
+    assert WeatherTransfer.load(cp, plan=plan).model.fuse_upconv is False

@@ -150,3 +150,44 @@ def test_cunet_fuse_upconv_matches(rng):
     yt0 = m0.apply(v, x, c, train=True, rngs={"dropout": jax.random.key(7)})
     yt1 = m1.apply(v, x, c, train=True, rngs={"dropout": jax.random.key(7)})
     assert float(jnp.abs(yt0 - yt1).max()) == 0.0
+
+
+def test_upconv_block_fused_matches_reference(rng):
+    """Fully-fused decoder block (modulate + upsample + conv + skip-add +
+    relu in one kernel) == the XLA chain, incl. gradients via the VJP."""
+    from weather_unet_tpu.kernels.upconv_pallas import (
+        upconv_block_fused, upconv_block_ref)
+
+    B, H, W, C, O = 2, 8, 12, 16, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    k = jnp.asarray(0.1 * rng.standard_normal((3, 3, C, O)).astype(np.float32))
+    cb = jnp.asarray(
+        0.1 * rng.standard_normal((B, 2 * H, 2 * W, O)).astype(np.float32))
+    sc = jnp.asarray(rng.uniform(0.5, 2.0, (B, C)).astype(np.float32))
+    sh = jnp.asarray(rng.standard_normal((B, C)).astype(np.float32))
+    y = upconv_block_fused(x, k, cb, sc, sh, True, True)
+    ref = upconv_block_ref(x, k, cb, sc, sh, relu=True)
+    assert float(jnp.abs(y - ref).max()) < 1e-5
+    assert float(jnp.min(y)) >= 0.0   # relu really applied
+
+    f1 = lambda x, k: jnp.sum(jnp.sin(upconv_block_fused(x, k, cb, sc, sh,
+                                                         True, True)))
+    f2 = lambda x, k: jnp.sum(jnp.sin(upconv_block_ref(x, k, cb, sc, sh)))
+    g1x, g1k = jax.grad(f1, argnums=(0, 1))(x, k)
+    g2x, g2k = jax.grad(f2, argnums=(0, 1))(x, k)
+    # kernel grads are O(100): compare relative
+    assert float(jnp.abs(g1x - g2x).max()) < 2e-5 * max(
+        1.0, float(jnp.abs(g2x).max()))
+    assert float(jnp.abs(g1k - g2k).max()) < 2e-5 * max(
+        1.0, float(jnp.abs(g2k).max()))
+
+
+def test_adain_scale_shift_matches_adain(rng):
+    from weather_unet_tpu.ops.norm import adain, adain_scale_shift
+
+    x = jnp.asarray(rng.standard_normal((3, 8, 8, 16)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((3, 64)).astype(np.float32))
+    sc, sh = adain_scale_shift(x, y)
+    out = (x.astype(jnp.float32) * sc[:, None, None, :]
+           + sh[:, None, None, :]).astype(x.dtype)
+    assert float(jnp.abs(out - adain(x, y)).max()) < 1e-5

@@ -49,6 +49,13 @@ class WeatherTransfer:
             raise ValueError(
                 "tensor_parallel requires a MeshPlan with a 'model' axis of "
                 ">= 2 devices (make_mesh(model=K))")
+        if plan is not None and getattr(model, "fuse_upconv", False):
+            # The Pallas upconv kernel carries no SPMD partitioning rules —
+            # under a mesh the partitioner would gather its operands instead
+            # of running it per-shard.  Mesh serving keeps the XLA decoder.
+            raise ValueError(
+                "fuse_upconv serving is single-device; rebuild the model "
+                "with fuse_upconv=False when passing a MeshPlan")
         self._vsh = None
         if plan is not None:
             if tensor_parallel:
@@ -106,17 +113,25 @@ class WeatherTransfer:
 
     @classmethod
     def load(cls, cp_path: str, num_classes: int = 5, dtype=jnp.float32,
-             plan=None, aot_cache=None, tensor_parallel: bool = False):
+             plan=None, aot_cache=None, tensor_parallel: bool = False,
+             fuse_upconv="auto"):
         """Load from a reference ``.pt`` GAN bundle or our msgpack checkpoint.
 
         ``aot_cache``: directory (or :class:`~weather_unet_tpu.core.aot.
         AotCache`) for serialized executables — a restarted process loads
         compiled programs from disk instead of re-paying XLA compilation
-        (minutes per bucket on a tunneled TPU; see ``core/aot.py``)."""
+        (minutes per bucket on a tunneled TPU; see ``core/aot.py``).
+
+        ``fuse_upconv="auto"``: fused Pallas upsample+conv decoder on
+        single-device TPU serving (identical numerics, +20% measured);
+        mesh serving (``plan``) keeps the XLA decoder — the Pallas call has
+        no SPMD partitioning rules."""
         from weather_unet_tpu.cli.common import load_transfer
 
+        if fuse_upconv == "auto" and plan is not None:
+            fuse_upconv = False
         model, variables = load_transfer(cp_path, num_classes=num_classes,
-                                         dtype=dtype)
+                                         dtype=dtype, fuse_upconv=fuse_upconv)
         return cls(model, variables, plan=plan, aot_cache=aot_cache,
                    tensor_parallel=tensor_parallel)
 

@@ -16,15 +16,29 @@ from weather_unet_tpu.models import ConditionalUNet, ResNet101
 from weather_unet_tpu.train import checkpoint as ckpt
 
 
-def load_transfer(cp_path: str, num_classes: int = 5, dtype=jnp.float32):
+def load_transfer(cp_path: str, num_classes: int = 5, dtype=jnp.float32,
+                  fuse_upconv="auto"):
     """Load a cUNet from either our msgpack checkpoint or a reference
     ``.pt`` GAN bundle (``sd['inference']`` — ``demo.py:51-54``).
+
+    ``fuse_upconv`` selects the fused Pallas upsample+conv decoder
+    (``kernels/upconv_pallas.py``; identical numerics).  ``"auto"``
+    currently resolves to OFF: the kernel beats the XLA chain standalone
+    (up1 16.8 vs 27.6 ms) but its pair-layout output boundary costs the
+    win back in the full forward (measured 106.0 vs 100.3 ms, see
+    docs/UPSAMPLE_STUDY.md round-3 addendum) — flip to opt-in once the
+    boundary is solved.
 
     Returns (model, variables)."""
     from weather_unet_tpu.core.profiling import enable_compilation_cache
 
     enable_compilation_cache()  # serving funnel: all inference/eval CLIs + api
-    model = ConditionalUNet(num_classes=num_classes, dtype=dtype)
+    if fuse_upconv == "auto":
+        fuse_upconv = False
+    model = ConditionalUNet(
+        num_classes=num_classes, dtype=dtype,
+        fuse_upconv=(fuse_upconv if isinstance(fuse_upconv, tuple)
+                     else bool(fuse_upconv)))
     if cp_path.endswith((".pt", ".pth")):
         bundle = torch_io.load_torch_file(cp_path)
         variables = torch_io.cunet_from_torch(bundle["inference"])

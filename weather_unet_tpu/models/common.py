@@ -39,7 +39,8 @@ class TorchConv(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skip=None, fused_upsample: bool = False):
+    def __call__(self, x, skip=None, fused_upsample: bool = False,
+                 mod=None, fused_relu: bool = False):
         """``skip`` enables split-concat form: the kernel is declared over
         ``Cx + Cskip`` input channels and applied as ``conv(x, W[:Cx]) +
         conv(skip, W[Cx:])`` — identical to ``conv(concat(x, skip))`` without
@@ -47,10 +48,15 @@ class TorchConv(nn.Module):
         +24% cUNet throughput measured on v5e).
 
         ``fused_upsample`` (requires ``skip``, 3x3/pad-1/stride-1): ``x`` is
-        the LOW-RES pre-upsample map and the x-part conv runs through the
-        fused Pallas upsample+conv kernel (``kernels/upconv_pallas.py``) —
-        identical math to ``conv(concat(upsample_2x(x), skip))`` without
-        materializing the upsampled tensor."""
+        the LOW-RES pre-upsample map and the whole decoder block runs
+        through the fused Pallas kernel (``kernels/upconv_pallas.py``) —
+        identical math to ``conv(concat(upsample_2x(x*mod), skip))`` without
+        materializing the upsampled (or modulated) tensor.  ``mod`` is an
+        optional ``(scale, shift)`` per-(sample, channel) affine applied to
+        ``x`` inside the kernel (``ops.norm.adain_scale_shift``);
+        ``fused_relu`` additionally applies the block activation in-kernel
+        (the return value is then POST-activation — the caller must not
+        re-apply it)."""
         in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         kh, kw = ((self.kernel_size,) * 2 if isinstance(self.kernel_size, int)
                   else tuple(self.kernel_size))
@@ -74,13 +80,19 @@ class TorchConv(nn.Module):
             if (kh, kw) != (3, 3) or self.stride != 1 or pad != 1:
                 raise ValueError("fused_upsample requires a 3x3/stride-1/"
                                  "pad-1 conv")
-            from weather_unet_tpu.kernels.upconv_pallas import upconv_fused
+            from weather_unet_tpu.kernels.upconv_pallas import (
+                upconv_block_fused)
 
             interpret = jax.devices()[0].platform != "tpu"
-            out = upconv_fused(x, kernel[:, :, :cx], interpret)
-        else:
-            out = convs.conv2d(x, kernel[:, :, :cx], None,
-                               stride=self.stride, padding=pad)
+            cb = convs.conv2d(skip.astype(self.dtype), kernel[:, :, cx:],
+                              bias, stride=1, padding=1)
+            scale, shift = mod if mod is not None else (
+                jnp.ones((x.shape[0], cx), jnp.float32),
+                jnp.zeros((x.shape[0], cx), jnp.float32))
+            return upconv_block_fused(x, kernel[:, :, :cx], cb, scale,
+                                      shift, fused_relu, interpret)
+        out = convs.conv2d(x, kernel[:, :, :cx], None,
+                           stride=self.stride, padding=pad)
         out = out + convs.conv2d(skip.astype(self.dtype), kernel[:, :, cx:],
                                  bias, stride=self.stride, padding=pad)
         return out

@@ -41,11 +41,17 @@ class RDoubleConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, skip=None, fused_upsample: bool = False):
-        x = TorchConv(self.features, kernel_size=3, padding=1,
-                      dtype=self.dtype, name="conv1")(
-                          x, skip, fused_upsample=fused_upsample)
-        x = nn.relu(x)
+    def __call__(self, x, skip=None, fused_upsample: bool = False, mod=None):
+        if fused_upsample:
+            # one Pallas call: modulate + upsample + conv1 + skip-add + relu
+            x = TorchConv(self.features, kernel_size=3, padding=1,
+                          dtype=self.dtype, name="conv1")(
+                              x, skip, fused_upsample=True, mod=mod,
+                              fused_relu=True)
+        else:
+            x = TorchConv(self.features, kernel_size=3, padding=1,
+                          dtype=self.dtype, name="conv1")(x, skip)
+            x = nn.relu(x)
         x = TorchConv(self.features, kernel_size=3, padding=1, dtype=self.dtype, name="conv2")(x)
         x = nn.relu(x)
         return x
@@ -105,8 +111,14 @@ class AdaINBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, c):
+    def __call__(self, x, c, return_scale_shift: bool = False):
         y = TorchDense(self.channels * 4, dtype=self.dtype, name="proj")(c)
+        if return_scale_shift:
+            # factored form for fused consumers (kernels/upconv_pallas.py):
+            # stats here (one read of x), modulate inside the consumer
+            from weather_unet_tpu.ops.norm import adain_scale_shift
+
+            return adain_scale_shift(x, y, eps=self.eps)
         if self.use_pallas:
             from weather_unet_tpu.kernels.adain_pallas import adain_fused
 
@@ -124,8 +136,10 @@ class ConditionalUNet(nn.Module):
     # Fused Pallas upsample+conv decoder (kernels/upconv_pallas.py): the
     # upsampled tensor is never materialized.  Identical math & param tree;
     # eval-mode calls only (dropout between upsample and conv is identity
-    # there) — training forwards keep the XLA formulation.
-    fuse_upconv: bool = False
+    # there) — training forwards keep the XLA formulation.  ``True`` fuses
+    # every decoder level; a tuple of level indices (3=coarsest .. 1=finest)
+    # fuses a subset.
+    fuse_upconv: Any = False
 
     @nn.compact
     def __call__(self, x, c, *, train: bool = False):
@@ -148,14 +162,19 @@ class ConditionalUNet(nn.Module):
         h = max_pool_2x2(conv3)
         h = RDoubleConv(512, dtype=dt, name="down4")(h)
 
-        fuse = self.fuse_upconv and not train   # dropout is identity in eval
+        # dropout is identity in eval; training keeps the XLA formulation
+        levels = (self.fuse_upconv if isinstance(self.fuse_upconv, tuple)
+                  else ((1, 2, 3) if self.fuse_upconv else ()))
+        fuse_levels = () if train else levels
 
         def up_block(h, feats, skip, adain_ch, idx):
-            h = AdaINBlock(adain_ch, dtype=dt, use_pallas=self.use_pallas,
-                           name=f"adain{idx}")(h, c)
-            if fuse:
+            blk = AdaINBlock(adain_ch, dtype=dt, use_pallas=self.use_pallas,
+                             name=f"adain{idx}")
+            if idx in fuse_levels:
+                mod = blk(h, c, return_scale_shift=True)
                 return RDoubleConv(feats, dtype=dt, name=f"up{idx}")(
-                    h, skip=skip, fused_upsample=True)
+                    h, skip=skip, fused_upsample=True, mod=mod)
+            h = blk(h, c)
             h = upsample_bilinear_align_corners(h)
             h = drop(h)
             return RDoubleConv(feats, dtype=dt, name=f"up{idx}")(h, skip=skip)

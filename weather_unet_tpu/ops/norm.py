@@ -54,6 +54,23 @@ def adain(x, y_proj, eps: float = 1e-5):
     return out.astype(x.dtype)
 
 
+def adain_scale_shift(x, y_proj, eps: float = 1e-5):
+    """AdaIN factored as a per-(sample, channel) affine: f32 ``(scale,
+    shift)`` of shape (B, C) with ``adain(x, y_proj) ==
+    (x_f32 * scale + shift).astype(x.dtype)`` up to f32 reassociation.
+
+    Lets a fused consumer (``kernels/upconv_pallas.py``) apply the modulate
+    inside its own VMEM pass instead of materializing the modulated tensor
+    in HBM; the instance statistics (one read of ``x``) stay in XLA."""
+    b, h, w, c = x.shape
+    x_mean, x_var = _mean_var_unbiased(x, axis=(1, 2))
+    y = y_proj.reshape(b, c, 4)
+    y_mean, y_var = _mean_var_unbiased(y, axis=2)
+    scale = jnp.sqrt(y_var + eps) / jnp.sqrt(x_var + eps)
+    shift = y_mean - x_mean * scale
+    return scale, shift
+
+
 def instance_whiten(x, eps: float = 1e-5):
     """Per-sample, per-channel whitening (no affine), unbiased variance."""
     mean, var = _mean_var_unbiased(x, axis=(1, 2))
