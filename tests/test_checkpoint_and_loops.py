@@ -334,3 +334,31 @@ def test_summary_warns_on_nonfinite_metrics(tmp_path, capsys):
     tr.update_summary()
     out = capsys.readouterr().out
     assert "non-finite training metrics" in out and "d_loss" in out
+
+
+def test_fit_seeds_loaders_with_absolute_epoch(tmp_path):
+    """fit() must call loader.set_epoch with the ABSOLUTE epoch (state.epoch
+    survives auto-resume): a preempted-and-resumed run continues fresh
+    per-epoch shuffles instead of replaying epoch 0's order."""
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    calls = []
+
+    class RecLoader:
+        def set_epoch(self, e):
+            calls.append(e)
+
+        def __iter__(self):   # zero batches: the epoch ends immediately
+            return iter(())
+
+    cfg = GanConfig(input_size=32, batch_size=8, num_epoch=2)
+    tr = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path), name="a",
+        log_dir=str(tmp_path / "runs"))
+    # simulate a run resumed after 5 completed epochs
+    tr.state = tr.state.replace(epoch=jnp.asarray(5, jnp.int32))
+    tr.fit(lambda: RecLoader(), lambda: RecLoader())
+    assert calls == [5, 5, 6, 6]   # (train, random) x 2 epochs, absolute

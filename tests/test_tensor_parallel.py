@@ -313,3 +313,20 @@ def test_api_tensor_parallel_serving(tmp_path, rng):
     import pytest
     with pytest.raises(ValueError, match="tensor_parallel"):
         WeatherTransfer.load(path, tensor_parallel=True)
+
+
+def test_tp_shardings_refuses_nondividing_degree():
+    """A TP degree that divides no conv channel width must raise, not
+    silently replicate everything (a no-op claiming K-way TP)."""
+    import pytest
+    from weather_unet_tpu.parallel.mesh import make_mesh
+    from weather_unet_tpu.parallel.tp import tp_shardings
+    from weather_unet_tpu.train.gan import GanConfig, build_gan_state
+
+    cfg = GanConfig(input_size=32, batch_size=7)
+    _, _, state = build_gan_state(cfg, jax.random.key(0))
+    # 7 divides no conv width in either net; 3 would legitimately shard the
+    # disc's width-96 block, which is a valid partial layout
+    plan = make_mesh(jax.devices()[:7], data=1, model=7)
+    with pytest.raises(ValueError, match="NO leaf"):
+        tp_shardings(plan, state)

@@ -122,10 +122,12 @@ class WeatherTransfer:
         compiled programs from disk instead of re-paying XLA compilation
         (minutes per bucket on a tunneled TPU; see ``core/aot.py``).
 
-        ``fuse_upconv="auto"``: fused Pallas upsample+conv decoder on
-        single-device TPU serving (identical numerics, +20% measured);
-        mesh serving (``plan``) keeps the XLA decoder — the Pallas call has
-        no SPMD partitioning rules."""
+        ``fuse_upconv``: opt-in fused Pallas upsample+conv decoder
+        (identical numerics; currently ~2% SLOWER end-to-end than the XLA
+        decoder due to custom-call layout-boundary copies — see
+        docs/UPSAMPLE_STUDY.md round-3 addendum — so ``"auto"`` resolves to
+        off).  Incompatible with mesh serving (``plan``): the Pallas call
+        has no SPMD partitioning rules."""
         from weather_unet_tpu.cli.common import load_transfer
 
         if fuse_upconv == "auto" and plan is not None:

@@ -37,7 +37,8 @@ def load_transfer(cp_path: str, num_classes: int = 5, dtype=jnp.float32,
         fuse_upconv = False
     model = ConditionalUNet(
         num_classes=num_classes, dtype=dtype,
-        fuse_upconv=(fuse_upconv if isinstance(fuse_upconv, tuple)
+        fuse_upconv=(tuple(fuse_upconv)
+                     if isinstance(fuse_upconv, (tuple, list))
                      else bool(fuse_upconv)))
     if cp_path.endswith((".pt", ".pth")):
         bundle = torch_io.load_torch_file(cp_path)

@@ -91,10 +91,14 @@ class TorchConv(nn.Module):
                 jnp.zeros((x.shape[0], cx), jnp.float32))
             return upconv_block_fused(x, kernel[:, :, :cx], cb, scale,
                                       shift, fused_relu, interpret)
-        out = convs.conv2d(x, kernel[:, :, :cx], None,
+        # bias rides the x-part conv (NOT the skip part): f32 addition is
+        # non-associative and this preserves bit-exact outputs vs releases
+        # predating the fused path (which necessarily carries bias on the
+        # skip conv instead)
+        out = convs.conv2d(x, kernel[:, :, :cx], bias,
                            stride=self.stride, padding=pad)
         out = out + convs.conv2d(skip.astype(self.dtype), kernel[:, :, cx:],
-                                 bias, stride=self.stride, padding=pad)
+                                 None, stride=self.stride, padding=pad)
         return out
 
 

@@ -88,5 +88,16 @@ def tp_shardings(plan, tree: Any) -> Any:
     """
     n = plan.mesh.shape["model"]
     specs = tp_specs(tree, n)
+    if n > 1 and not any(
+            s != P() for s in jax.tree.leaves(
+                specs, is_leaf=lambda x: isinstance(x, P))):
+        # Every leaf fell back to replicated (the shape guards reject an
+        # n_shard that divides no conv channel width) — a silent no-op that
+        # would train/serve fully replicated while claiming K-way TP.
+        raise ValueError(
+            f"{n}-way tensor parallelism shards NO leaf of this tree: no "
+            f"conv1/conv2 channel dimension is divisible by {n}. Use a "
+            f"divisor of the model's channel widths (cUNet: a power of two "
+            f"<= 64) or drop --tensor_parallel")
     return jax.tree.map(lambda s: NamedSharding(plan.mesh, s), specs,
                         is_leaf=lambda x: isinstance(x, P))

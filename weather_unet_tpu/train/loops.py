@@ -94,12 +94,11 @@ class WeatherTransferTrainer:
         # and GSPMD inserts the per-double-conv psums.  Single-controller
         # only: checkpointing reads the state back host-side, which needs
         # every shard addressable from this process.
-        self.tensor_parallel = (tensor_parallel
-                                and self.plan.mesh.shape["model"] > 1)
         if tensor_parallel and self.plan.mesh.shape["model"] < 2:
             raise ValueError(
                 "tensor_parallel requires a mesh with a 'model' axis of >= 2 "
                 "devices (make_mesh(model=K))")
+        self.tensor_parallel = tensor_parallel
         if self.tensor_parallel and jax.process_count() > 1:
             raise ValueError(
                 "tensor-parallel training is single-controller only "
@@ -400,15 +399,20 @@ class WeatherTransferTrainer:
             labeled: bool = False):
         try:
             with trace(self.profile_dir), GracefulShutdown() as stop:
-                for ep in range(self.cfg.num_epoch):
+                for _ in range(self.cfg.num_epoch):
                     # Fresh shuffle/sampler draw per epoch (reference torch
                     # DataLoader behavior) — without this a loader rebuilt
                     # from a fixed seed replays epoch 0's order forever.
+                    # Seeded with the ABSOLUTE epoch (state.epoch survives
+                    # auto-resume) so a preempted run continues fresh orders
+                    # instead of replaying epoch 0's; one host read per
+                    # epoch boundary, off the hot loop.
                     tl, rl = train_loader_fn(), random_loader_fn()
+                    abs_ep = int(jax.device_get(self.state.epoch))
                     for ld in (tl, rl):
                         se = getattr(ld, "set_epoch", None)
                         if se is not None:
-                            se(ep)
+                            se(abs_ep)
                     if not self.train_epoch(
                             tl, rl,
                             test_batches=test_batches, labeled=labeled,
