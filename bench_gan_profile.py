@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--trace_dir", default="/tmp/gan_profile")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke-testing the script)")
+    ap.add_argument("--prng", default="rbg",
+                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                    help="impl for the per-step key (dropout masks); rbg = "
+                         "hardware RNG, the trainer default (core/rng.py)")
     args = ap.parse_args()
 
     import jax
@@ -51,6 +55,7 @@ def main():
                                do_g=True)
         return fn(state, x, xl, rx, rl, key)
 
+    key = lambda s: jax.random.key(s, impl=args.prng)
     rng = np.random.default_rng(0)
     shp = (args.batch, args.size, args.size, 3)
     x = jnp.asarray(rng.standard_normal(shp).astype(np.float32)).astype(dt)
@@ -61,7 +66,7 @@ def main():
                                   "weather_unet_tpu_aot"))
     t0 = time.perf_counter()
     step = cache.load_or_compile(
-        step_fn, state, est_vars, x, zeros, rx, zeros, jax.random.key(2),
+        step_fn, state, est_vars, x, zeros, rx, zeros, key(2),
         jit_kwargs={"donate_argnums": (0,)})
     print(f"executable ready in {time.perf_counter()-t0:.1f}s "
           f"(hits={cache.stats['hits']} misses={cache.stats['misses']})",
@@ -69,14 +74,14 @@ def main():
 
     # first dispatch pays the per-process program load (minutes on tunnel)
     t0 = time.perf_counter()
-    state, m = step(state, est_vars, x, zeros, rx, zeros, jax.random.key(2))
+    state, m = step(state, est_vars, x, zeros, rx, zeros, key(2))
     print(f"first dispatch {time.perf_counter()-t0:.1f}s "
           f"g_loss={float(m['g_loss']):.3f}", flush=True)
 
     t0 = time.perf_counter()
     for i in range(args.steps):
         state, m = step(state, est_vars, x, zeros, rx, zeros,
-                        jax.random.key(3 + i))
+                        key(3 + i))
     float(m["g_loss"])  # host read-back: the honest barrier on the tunnel
     dt_s = (time.perf_counter() - t0) / args.steps
     print(f"steady state: {dt_s*1e3:.1f} ms/step -> "
@@ -86,7 +91,7 @@ def main():
     jax.profiler.start_trace(args.trace_dir)
     for i in range(args.trace_steps):
         state, m = step(state, est_vars, x, zeros, rx, zeros,
-                        jax.random.key(100 + i))
+                        key(100 + i))
     float(m["g_loss"])
     jax.profiler.stop_trace()
     print(f"trace written under {args.trace_dir}", flush=True)

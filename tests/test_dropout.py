@@ -1,0 +1,86 @@
+"""ops/dropout.py: packed (8-bit-lane) dropout.
+
+Statistical contract (drop rate, unbiased scale), determinism, gradient
+shape, and the odd-channel fallback.  The quantized keep probability is
+thresh/256 with thresh = round(keep*256); assertions below use the actual
+value, mirroring the scale the implementation applies.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from weather_unet_tpu.ops.dropout import PackedDropout, packed_dropout
+
+
+def test_drop_rate_and_scale():
+    key = jax.random.key(0)
+    x = jnp.ones((64, 32, 32, 64), jnp.float32)
+    y = packed_dropout(key, x, 0.3)
+    thresh = round(0.7 * 256)           # 179
+    keep_actual = thresh / 256.0
+    zeros = float(jnp.mean(y == 0.0))
+    assert abs(zeros - (1 - keep_actual)) < 5e-3
+    kept = np.asarray(y[y != 0.0])
+    np.testing.assert_allclose(kept, 1.0 / keep_actual, rtol=1e-6)
+    # unbiased in expectation
+    assert abs(float(jnp.mean(y)) - 1.0) < 5e-3
+
+
+def test_deterministic_given_key_and_distinct_across_keys():
+    x = jnp.arange(4 * 8 * 8 * 16, dtype=jnp.float32).reshape(4, 8, 8, 16)
+    a = packed_dropout(jax.random.key(1), x, 0.3)
+    b = packed_dropout(jax.random.key(1), x, 0.3)
+    c = packed_dropout(jax.random.key(2), x, 0.3)
+    assert jnp.array_equal(a, b)
+    assert not jnp.array_equal(a, c)
+
+
+def test_rbg_keys_and_jit():
+    # the trainers feed rbg keys (core/rng.py); must jit cleanly
+    key = jax.random.key(3, impl="rbg")
+    x = jnp.ones((8, 16, 16, 32), jnp.bfloat16)
+    y = jax.jit(lambda k, v: packed_dropout(k, v, 0.3))(key, x)
+    assert y.dtype == jnp.bfloat16 and 0.0 < float(jnp.mean(y == 0)) < 0.6
+
+
+def test_odd_channels_fallback_matches_rate():
+    key = jax.random.key(4)
+    x = jnp.ones((64, 16, 16, 3), jnp.float32)   # 3 % 4 != 0 -> bernoulli path
+    y = packed_dropout(key, x, 0.3)
+    assert abs(float(jnp.mean(y == 0.0)) - 0.3) < 2e-2
+    kept = np.asarray(y[y != 0.0])
+    np.testing.assert_allclose(kept, 1.0 / 0.7, rtol=1e-5)
+
+
+def test_extreme_rate_fallback():
+    key = jax.random.key(5)
+    x = jnp.ones((32, 8, 8, 8), jnp.float32)
+    y = packed_dropout(key, x, 0.999)   # thresh rounds to 0 -> bernoulli path
+    assert float(jnp.mean(y == 0.0)) > 0.99
+
+
+def test_gradient_is_mask_times_scale():
+    key = jax.random.key(6)
+    x = jnp.ones((2, 4, 4, 8), jnp.float32)
+    g = jax.grad(lambda v: jnp.sum(packed_dropout(key, v, 0.3)))(x)
+    y = packed_dropout(key, x, 0.3)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(y), rtol=1e-6)
+
+
+def test_module_rate_zero_and_deterministic_identity():
+    x = jnp.ones((2, 4, 4, 8))
+    m = PackedDropout(0.0)
+    y = m.apply({}, x, rngs={"dropout": jax.random.key(0)})
+    assert jnp.array_equal(x, y)
+    m = PackedDropout(0.3, deterministic=True)
+    assert jnp.array_equal(m.apply({}, x), x)
+
+
+@pytest.mark.parametrize("rate", [0.1, 0.3, 0.5])
+def test_mean_preserved_various_rates(rate):
+    key = jax.random.key(7)
+    x = jax.random.normal(jax.random.key(8), (32, 16, 16, 32))
+    y = packed_dropout(key, x, rate)
+    # E[y] == E[x]; tolerance scales with mask variance over ~2.6e5 samples
+    assert abs(float(jnp.mean(y)) - float(jnp.mean(x))) < 2e-2

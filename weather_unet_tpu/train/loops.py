@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from weather_unet_tpu.core.profiling import trace
+from weather_unet_tpu.core.rng import train_key
 from weather_unet_tpu.core.state import TrainState
 from weather_unet_tpu.data.pipeline import device_prefetch
 from weather_unet_tpu.data.transforms import AugmentConfig, augment_batch, normalize_batch
@@ -161,8 +162,10 @@ class WeatherTransferTrainer:
             "gan_eval")
 
         self.state = put_host_local(self._ssh, self.state)
-        self._base_key = put_host_local(rsh, jax.random.key(seed + 1))
-        self._rng = jax.random.key(seed + 2)   # cold paths (evaluate)
+        # hardware-RNG keys: threefry dropout-mask generation measured at
+        # ~16% of the GAN step on TPU v5e (core/rng.py)
+        self._base_key = put_host_local(rsh, train_key(seed + 1))
+        self._rng = train_key(seed + 2)   # cold paths (evaluate)
         self.scalar_dict = {}
         self.image_dict = {}
         self.profile_dir = profile_dir
@@ -490,7 +493,7 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
         start_epoch = int(restored["epoch"])
         print(f"resumed from {path} at step {global_step}", flush=True)
 
-    base_key = put_host_local(rsh, jax.random.key(seed))
+    base_key = put_host_local(rsh, train_key(seed))
     state = put_host_local(rsh, state)
     # The step donates its state argument and device_put can ALIAS the
     # caller's buffers (same device/layout) — donate would then invalidate
