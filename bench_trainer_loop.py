@@ -7,11 +7,15 @@ summary-window accounting.  The claim under test: with metrics kept on device
 between summaries and the whole step (normalize + keys + GAN update) in one
 dispatch, the real trainer tracks bench_train.py's step-only number.
 
-Measured (v5e via the axon tunnel): bf16 B=128 282 img/s = 92% of the
-305 img/s step-only bound.  The f32 B=8 config is tunnel-RTT-bound at its
-45 ms step granularity — identical code measured 28-175 img/s across runs as
-tunnel latency wandered; treat small-batch numbers from this harness as a
-measure of the link, not the loop (see bench_trainer_diag.py).
+Measured (v5e via the axon tunnel, rbg keys, data pre-staged): bf16 B=128
+336.7 img/s (two runs: 336.6/336.9) = 99% of the 340 img/s fused-step bound
+(bench_trainer_isolate.py phase A; the fused step includes uint8
+normalize).  Round 2's '282 img/s = 92%' was the staging artifact, not loop
+overhead.  The f32 B=8 config is
+tunnel-RTT-bound at its 45 ms step granularity — identical code measured
+28-175 img/s across runs as tunnel latency wandered; treat small-batch
+numbers from this harness as a measure of the link, not the loop
+(see bench_trainer_diag.py).
 """
 
 import json
@@ -66,18 +70,32 @@ def run(batch, dtype_name, n_steps=40):
     import tempfile
     tmp = tempfile.mkdtemp()
     tr = WeatherTransferTrainer(cfg, est_apply, save_dir=tmp, name="bench",
-                                log_dir=tmp)
+                                log_dir=tmp,
+                                aot_cache="/root/.cache/weather_unet_tpu_aot")
     # warm-up epoch compiles both step variants + augment
     tr.train_epoch(SyntheticLoader(batch, size, 3), SyntheticLoader(batch, size, 3))
     # measured epoch: the loop's own summary window gives img/s; also wrap
     # wall-clock around the epoch with a forced host read at the end
     tr.DISPLAY_PER_STEP = 10 ** 9   # don't fire mid-epoch
     tr.EVAL_PER_STEP = 10 ** 9
+    # Pre-stage the synthetic batches BEFORE the timed window.  Loader
+    # construction device_puts ~77 MB per loader; over the tunnel's
+    # 40-110 MB/s H2D (it wobbles) that is 1.5-4 s *inside* the window if
+    # constructed inline — which mismeasured the loop at 138-282 img/s
+    # across identical runs (bench_trainer_isolate.py phases A/B/C).
+    # bench_train.py's step-only number has its data pre-staged, so this is
+    # the like-for-like loop-overhead measurement; real (non-tunneled) TPU
+    # hosts stage batches over PCIe/DMA where this term is noise.
+    import jax
+    train_ld = SyntheticLoader(batch, size, n_steps)
+    rand_ld = SyntheticLoader(batch, size, n_steps)
+    for ld in (train_ld, rand_ld):
+        for arrs in ld.batches:
+            jax.block_until_ready(arrs)
     tr._window_t0 = None
     tr._window_steps = 0
     t0 = time.perf_counter()
-    tr.train_epoch(SyntheticLoader(batch, size, n_steps),
-                   SyntheticLoader(batch, size, n_steps))
+    tr.train_epoch(train_ld, rand_ld)
     tr.update_summary()            # sync point: reads metrics back
     wall = time.perf_counter() - t0
     ips_window = tr.scalar_dict.get("perf/images_per_sec", 0.0)

@@ -49,7 +49,7 @@ def build_parser():
                         "form the 'data' axis")
     p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
                    help="compute dtype for the train step (params stay f32); "
-                        "bf16 is the measured TPU config — 305 img/s at "
+                        "bf16 is the measured TPU config — 332 img/s at "
                         "B=128 vs 189 img/s f32 B=8 (bench_train.py)")
     return p
 
