@@ -31,6 +31,51 @@ import numpy as np
 REFERENCE_IMG_PER_SEC = 60.0  # documented estimate, see module docstring
 
 
+def train_probe(n_steps: int = 6):
+    """GAN combined-step training throughput (224² bf16 B=128, the measured
+    production config — docs/PERF.md).  Goes through the AOT executable
+    cache shared with bench_gan_profile.py (identical HLO), so the usual
+    cost here is a ~20 s deserialize, not a compile.  Soft-fails to None:
+    the headline serving metric must survive any train-probe breakage.
+    Skip with WUT_BENCH_TRAIN=0 (e.g. on a very slow link)."""
+    if os.environ.get("WUT_BENCH_TRAIN", "1") == "0":
+        return None
+    try:
+        import jax
+        import jax.numpy as jnp
+        from bench_gan_profile import build_flagship_step
+        from weather_unet_tpu.core.aot import AotCache
+        from weather_unet_tpu.core.rng import train_key
+
+        step_fn, state, est_vars = build_flagship_step(128, "bf16", 224)
+        rng = np.random.default_rng(0)
+        shp = (128, 224, 224, 3)
+        x = jnp.asarray(rng.standard_normal(shp).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        rx = jnp.asarray(rng.standard_normal(shp).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+        zeros = jnp.zeros(128, jnp.int32)
+        cache = AotCache(os.path.join(
+            os.path.expanduser("~"), ".cache", "weather_unet_tpu_aot"))
+        step = cache.load_or_compile(
+            step_fn, state, est_vars, x, zeros, rx, zeros, train_key(2),
+            jit_kwargs={"donate_argnums": (0,)})
+        state, m = step(state, est_vars, x, zeros, rx, zeros, train_key(2))
+        float(m["g_loss"])  # warm + honest barrier
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state, m = step(state, est_vars, x, zeros, rx, zeros,
+                            train_key(3 + i))
+        float(m["g_loss"])
+        return round(n_steps * 128 / (time.perf_counter() - t0), 2)
+    except Exception as e:  # noqa: BLE001 — never break the headline metric
+        import sys
+
+        print(f"train probe skipped: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -96,7 +141,7 @@ def main():
         lats.append(time.perf_counter() - t0)
     p50_ms = float(np.median(lats) * 1e3)
 
-    print(json.dumps({
+    record = {
         "metric": "translated images/sec/chip, 256x256 cUNet transfer (bf16)",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
@@ -104,7 +149,12 @@ def main():
         "p50_latency_ms": round(p50_ms, 3),
         "batch": batch,
         "device": str(jax.devices()[0]),
-    }))
+    }
+    train_ips = train_probe()
+    if train_ips is not None:
+        # full GAN combined train step (224² bf16 B=128, hardware-RNG keys)
+        record["train_img_per_sec"] = train_ips
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

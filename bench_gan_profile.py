@@ -16,6 +16,33 @@ import time
 import numpy as np
 
 
+
+
+def build_flagship_step(batch: int, dtype_name: str, size: int):
+    """The flagship GAN combined step + fresh train state, shared with
+    bench.py's train probe so both lower to identical HLO (one AOT cache
+    entry serves profiler and headline bench)."""
+    import jax
+    import jax.numpy as jnp
+    from weather_unet_tpu.models import ResNet101
+    from weather_unet_tpu.train.gan import (GanConfig, build_gan_state,
+                                            make_gan_step)
+
+    dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    cfg = GanConfig(input_size=size, batch_size=batch, dtype=dt)
+    gen, disc, state = build_gan_state(cfg, jax.random.key(0))
+    est = ResNet101(num_classes=5, dtype=dt)
+    est_vars = est.init(jax.random.key(1), jnp.zeros((1, size, size, 3), dt))
+
+    def step_fn(state, est_vars, x, xl, rx, rl, key):
+        est_apply = lambda imgs: est.apply(est_vars, imgs, train=False)
+        fn = functools.partial(make_gan_step(gen, disc, est_apply, cfg),
+                               do_g=True)
+        return fn(state, x, xl, rx, rl, key)
+
+    return step_fn, state, est_vars
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -36,25 +63,12 @@ def main():
     if args.cpu:
         # the axon TPU plugin ignores JAX_PLATFORMS; the config API works
         jax.config.update("jax_platforms", "cpu")
+    step_fn, state, est_vars = build_flagship_step(args.batch, args.dtype,
+                                                   args.size)
     import jax.numpy as jnp
     from weather_unet_tpu.core.aot import AotCache
-    from weather_unet_tpu.models import ResNet101
-    from weather_unet_tpu.train.gan import (GanConfig, build_gan_state,
-                                            make_gan_step)
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    cfg = GanConfig(input_size=args.size, batch_size=args.batch, dtype=dt)
-    gen, disc, state = build_gan_state(cfg, jax.random.key(0))
-    est = ResNet101(num_classes=5, dtype=dt)
-    est_vars = est.init(jax.random.key(1),
-                        jnp.zeros((1, args.size, args.size, 3), dt))
-
-    def step_fn(state, est_vars, x, xl, rx, rl, key):
-        est_apply = lambda imgs: est.apply(est_vars, imgs, train=False)
-        fn = functools.partial(make_gan_step(gen, disc, est_apply, cfg),
-                               do_g=True)
-        return fn(state, x, xl, rx, rl, key)
-
     key = lambda s: jax.random.key(s, impl=args.prng)
     rng = np.random.default_rng(0)
     shp = (args.batch, args.size, args.size, 3)
