@@ -44,7 +44,7 @@ def train_probe(n_steps: int = 6):
         import jax
         import jax.numpy as jnp
         from bench_gan_profile import build_flagship_step
-        from weather_unet_tpu.core.aot import AotCache
+        from weather_unet_tpu.core.aot import AotCache, default_cache_dir
         from weather_unet_tpu.core.rng import train_key
 
         step_fn, state, est_vars = build_flagship_step(128, "bf16", 224)
@@ -55,8 +55,7 @@ def train_probe(n_steps: int = 6):
         rx = jnp.asarray(rng.standard_normal(shp).astype(np.float32)
                          ).astype(jnp.bfloat16)
         zeros = jnp.zeros(128, jnp.int32)
-        cache = AotCache(os.path.join(
-            os.path.expanduser("~"), ".cache", "weather_unet_tpu_aot"))
+        cache = AotCache(default_cache_dir())
         step = cache.load_or_compile(
             step_fn, state, est_vars, x, zeros, rx, zeros, train_key(2),
             jit_kwargs={"donate_argnums": (0,)})
@@ -104,11 +103,9 @@ def main():
     # a ~0.4 s deserialize (the tunnel's per-process program-load remains).
     # Any cache problem falls back to a plain jit.
     try:
-        from weather_unet_tpu.core.aot import AotCache, AotJit
+        from weather_unet_tpu.core.aot import AotCache, AotJit, default_cache_dir
 
-        cache_dir = os.path.join(
-            os.path.expanduser("~"), ".cache", "weather_unet_tpu_aot")
-        translate = AotJit(fwd, AotCache(cache_dir))
+        translate = AotJit(fwd, AotCache(default_cache_dir()))
     except Exception:
         translate = jax.jit(fwd)
 

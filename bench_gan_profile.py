@@ -66,7 +66,7 @@ def main():
     step_fn, state, est_vars = build_flagship_step(args.batch, args.dtype,
                                                    args.size)
     import jax.numpy as jnp
-    from weather_unet_tpu.core.aot import AotCache
+    from weather_unet_tpu.core.aot import AotCache, default_cache_dir
 
     dt = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     key = lambda s: jax.random.key(s, impl=args.prng)
@@ -76,8 +76,7 @@ def main():
     rx = jnp.asarray(rng.standard_normal(shp).astype(np.float32)).astype(dt)
     zeros = jnp.zeros(args.batch, jnp.int32)
 
-    cache = AotCache(os.path.join(os.path.expanduser("~"), ".cache",
-                                  "weather_unet_tpu_aot"))
+    cache = AotCache(default_cache_dir())
     t0 = time.perf_counter()
     step = cache.load_or_compile(
         step_fn, state, est_vars, x, zeros, rx, zeros, key(2),

@@ -26,6 +26,7 @@ def main(batch=128, dtype_name="bf16", n=40):
     import jax
     import jax.numpy as jnp
 
+    from weather_unet_tpu.core.aot import default_cache_dir
     from weather_unet_tpu.core.profiling import enable_compilation_cache
 
     enable_compilation_cache()
@@ -45,7 +46,7 @@ def main(batch=128, dtype_name="bf16", n=40):
     tmp = tempfile.mkdtemp()
     tr = WeatherTransferTrainer(cfg, est_apply, save_dir=tmp, name="iso",
                                 log_dir=tmp,
-                                aot_cache="/root/.cache/weather_unet_tpu_aot")
+                                aot_cache=default_cache_dir())
     tr.train_epoch(SyntheticLoader(batch, size, 3), SyntheticLoader(batch, size, 3))
     tr.DISPLAY_PER_STEP = 10 ** 9
     tr.EVAL_PER_STEP = 10 ** 9

@@ -53,6 +53,7 @@ def run(batch, dtype_name, n_steps=40):
     import jax
     import jax.numpy as jnp
 
+    from weather_unet_tpu.core.aot import default_cache_dir
     from weather_unet_tpu.core.profiling import enable_compilation_cache
 
     enable_compilation_cache()
@@ -71,7 +72,7 @@ def run(batch, dtype_name, n_steps=40):
     tmp = tempfile.mkdtemp()
     tr = WeatherTransferTrainer(cfg, est_apply, save_dir=tmp, name="bench",
                                 log_dir=tmp,
-                                aot_cache="/root/.cache/weather_unet_tpu_aot")
+                                aot_cache=default_cache_dir())
     # warm-up epoch compiles both step variants + augment
     tr.train_epoch(SyntheticLoader(batch, size, 3), SyntheticLoader(batch, size, 3))
     # measured epoch: the loop's own summary window gives img/s; also wrap

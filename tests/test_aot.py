@@ -84,6 +84,24 @@ def test_aotjit_per_shape_buckets(tmp_path):
                                rtol=1e-6)
 
 
+def test_aotjit_dict_memo_bounded(tmp_path):
+    """The identity-keyed container memo must not grow without bound when a
+    caller cycles through many distinct dicts (each pinned by the memo's
+    strong ref) — FIFO eviction caps it at _frag_max entries."""
+    aj = AotJit(_fn, AotCache(str(tmp_path)))
+    w = np.ones((8, 8), np.float32)
+    x = np.ones((1, 8), np.float32)
+    aj(w, x)   # compile once; later dicts reuse the executable
+    for _ in range(3 * aj._frag_max):
+        aj._shape_key(({"w": w}, x))
+    assert len(aj._frag) <= aj._frag_max
+    # the steady-state container keeps hitting the memo after evictions
+    d = {"w": w}
+    k1 = aj._shape_key((d, x))
+    assert aj._shape_key((d, x)) == k1
+    assert id(d) in aj._frag
+
+
 @pytest.fixture(scope="module")
 def gan_cp(tmp_path_factory):
     from weather_unet_tpu.train import checkpoint as ckpt

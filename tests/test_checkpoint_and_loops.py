@@ -44,6 +44,25 @@ def test_async_checkpointer_matches_sync(tmp_path):
         assert f1.read() == f2.read()
 
 
+def test_async_checkpointer_thread_is_lazy(tmp_path):
+    """Constructing a checkpointer must not start a worker thread: trainers
+    build one unconditionally, and callers that never save (benches, tests
+    driving train_epoch directly) would otherwise leak one idle 'ckpt'
+    thread per constructed trainer."""
+    import threading
+
+    ac = ckpt.AsyncCheckpointer()
+    assert ac._pool is None
+    ac.wait()      # no-ops on an unused instance
+    ac.close()
+    assert not any(t.name.startswith("ckpt") for t in threading.enumerate())
+    with ckpt.AsyncCheckpointer() as ac2:
+        ac2.save(str(tmp_path), "lazy", 1, {"w": jnp.ones(2)})
+        assert ac2._pool is not None
+        assert ac2.wait().endswith("ckpt_s0000000001.msgpack")
+    assert ac2._pool is None   # close() released the worker
+
+
 def test_async_checkpointer_survives_donation(tmp_path):
     """The device-side snapshot must keep the saved values alive even when
     the caller's buffers are donated (invalidated) right after save() —
@@ -354,11 +373,12 @@ def test_fit_seeds_loaders_with_absolute_epoch(tmp_path):
         def __iter__(self):   # zero batches: the epoch ends immediately
             return iter(())
 
-    cfg = GanConfig(input_size=32, batch_size=8, num_epoch=2)
+    cfg = GanConfig(input_size=32, batch_size=8, num_epoch=7)
     tr = WeatherTransferTrainer(
         cfg, est_apply, save_dir=str(tmp_path), name="a",
         log_dir=str(tmp_path / "runs"))
-    # simulate a run resumed after 5 completed epochs
+    # simulate a run resumed after 5 completed epochs: fit() loops on the
+    # absolute epoch, so exactly the remaining epochs 5 and 6 run
     tr.state = tr.state.replace(epoch=jnp.asarray(5, jnp.int32))
     tr.fit(lambda: RecLoader(), lambda: RecLoader())
     assert calls == [5, 5, 6, 6]   # (train, random) x 2 epochs, absolute

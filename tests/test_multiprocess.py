@@ -150,10 +150,21 @@ def test_lockstep_wrapper_protocol(monkeypatch):
     # rank 0: compile first, then release peers, then the ready barrier
     assert [b.split(":")[0] for b in barriers] == ["compile0", "ready"]
     assert w._compiled is not None
-    # steady state reuses the kept executable; a different shape falls back
+    # a different shape must ALSO rendezvous (an uncoordinated fallback to
+    # the jit's own dispatch is the concurrent-first-compile wedge) and the
+    # drift executable is cached per-signature
     y = np.arange(6.0, dtype=np.float32)
     np.testing.assert_allclose(np.asarray(w(y)), y * 2)
-    assert len(barriers) == 2    # no further rendezvous
+    assert [b.split(":")[0] for b in barriers] == [
+        "compile0", "ready", "compile0", "ready"]
+    assert len(w._drift) == 1
+    drift_exe = next(iter(w._drift.values()))
+    # steady state: repeating either shape adds no rendezvous, the primary
+    # fast path survives the drift, and the drift executable is reused
+    np.testing.assert_allclose(np.asarray(w(y)), y * 2)
+    np.testing.assert_allclose(np.asarray(w(x)), x * 2)
+    assert len(barriers) == 4
+    assert next(iter(w._drift.values())) is drift_exe
 
 
 def test_lockstep_names_unique_per_instance():

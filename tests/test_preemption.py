@@ -41,6 +41,8 @@ class SignalingLoader:
     """Yields small GAN batches forever; sends SIGTERM to self after
     ``fire_after`` batches (simulating the platform's preemption notice)."""
 
+    drop_last = True   # every yielded batch is full-size (fast-forward contract)
+
     def __init__(self, fire_after=None, n=64):
         self.fire_after = fire_after
         self.n = n
@@ -77,6 +79,96 @@ def test_trainer_preemption_checkpoints_and_stops(tmp_path):
     # handler was restored on exit
     assert signal.getsignal(signal.SIGTERM) in (
         signal.SIG_DFL, signal.default_int_handler)
+
+
+def test_trainer_resume_trains_exactly_the_remaining_steps(tmp_path):
+    """A preempted-then-relaunched run must finish with EXACTLY
+    num_epoch * steps_per_epoch training steps: fit() loops on the absolute
+    epoch (not num_epoch more epochs) and _epoch_skip fast-forwards the
+    batches the interrupted epoch already trained on."""
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    cfg = GanConfig(input_size=32, batch_size=4, num_epoch=2)
+    kw = dict(save_dir=str(tmp_path), name="r", log_dir=str(tmp_path / "runs"))
+    tr = WeatherTransferTrainer(cfg, _est_apply, **kw)
+    tr.fit(lambda: SignalingLoader(fire_after=3, n=6),
+           lambda: SignalingLoader(n=6))
+    # preempted somewhere inside epoch 0 (the prefetch lookahead means the
+    # signal can land a step or two before batch 3 reaches the train loop)
+    n1 = int(jax.device_get(tr.state.global_step))
+    assert 0 <= n1 < 6 and int(jax.device_get(tr.state.epoch)) == 0
+
+    tr2 = WeatherTransferTrainer(cfg, _est_apply, **kw)      # auto-resumes
+    assert tr2._gstep == n1
+    tr2.fit(lambda: SignalingLoader(n=6), lambda: SignalingLoader(n=6))
+    # 2 epochs x 6 steps total — the resume must neither run num_epoch MORE
+    # epochs nor re-train the interrupted epoch's already-trained head
+    assert int(jax.device_get(tr2.state.global_step)) == 12
+    assert int(jax.device_get(tr2.state.epoch)) == 2
+
+
+def test_supervised_resume_trains_exactly_the_remaining_steps(tmp_path):
+    """The preemption checkpoint stores the in-epoch position (epoch_step)
+    and the resumed run fast-forwards it, finishing with exactly
+    num_epoch * steps_per_epoch optimizer steps."""
+    import optax
+    from flax import linen as nn
+
+    from weather_unet_tpu.core.state import TrainState
+    from weather_unet_tpu.train.loops import train_supervised
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.Dense(5)(x.mean(axis=(1, 2)))
+
+    model = Tiny()
+
+    def fresh_state():
+        params = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))["params"]
+        return TrainState.create(params, optax.adam(1e-3), extra={})
+
+    def step_fn(state, x, y):
+        def loss_fn(p):
+            pred = model.apply({"params": p}, x)
+            return jnp.mean((pred - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), {"loss": loss}
+
+    def eval_fn(params, extra, x, y):
+        pred = model.apply({"params": params}, x)
+        return {"loss": jnp.mean((pred - y) ** 2)}
+
+    class Loader:
+        def __init__(self, fire_after=None, n=6):
+            self.fire_after = fire_after
+            self.n = n
+            self._rng = np.random.default_rng(0)
+
+        def __iter__(self):
+            for i in range(self.n):
+                if self.fire_after is not None and i == self.fire_after:
+                    os.kill(os.getpid(), signal.SIGTERM)
+                yield (self._rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+                       self._rng.standard_normal((4, 5)).astype(np.float32))
+
+    kw = dict(state=None, batch_size=4, num_epoch=2, input_size=32,
+              save_dir=str(tmp_path), name="supr", eval_per_iter=1000)
+    kw["state"] = fresh_state()
+    out = train_supervised(model, step_fn, eval_fn,
+                           lambda: Loader(fire_after=3), lambda: Loader(),
+                           **kw)
+    n1 = int(jax.device_get(out.step))
+    assert 0 <= n1 < 6   # preempted inside epoch 0 (prefetch lookahead)
+
+    kw["state"] = fresh_state()   # resumed from the checkpoint inside
+    out2 = train_supervised(model, step_fn, eval_fn,
+                            lambda: Loader(), lambda: Loader(), **kw)
+    # state.step counts THIS run's optimizer steps (it is not checkpointed):
+    # the resumed run must train exactly the 12 - n1 remaining batches —
+    # fast-forwarding the n1 already trained, not replaying epoch 0's head
+    assert int(jax.device_get(out2.step)) == 12 - n1
 
 
 def test_supervised_preemption_checkpoints_and_stops(tmp_path):

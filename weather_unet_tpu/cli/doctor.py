@@ -67,7 +67,8 @@ def collect(probe: bool = False) -> dict:
         "enabled": os.environ.get("WUT_COMPILE_CACHE", "1") != "0",
         "entries": len(os.listdir(xla_cache)) if os.path.isdir(xla_cache) else 0,
     }
-    aot_dir = os.path.expanduser("~/.cache/weather_unet_tpu_aot")
+    from weather_unet_tpu.core.aot import default_cache_dir
+    aot_dir = default_cache_dir()
     info["aot_executable_cache"] = {
         "dir": aot_dir,
         "entries": len([f for f in os.listdir(aot_dir)

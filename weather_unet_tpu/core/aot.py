@@ -34,6 +34,17 @@ from typing import Any, Callable, Optional
 import jax
 
 
+def default_cache_dir() -> str:
+    """The one default on-disk location for serialized executables.
+
+    Shared by the trainer CLIs, benches and ``wut-doctor`` so entries
+    written through any surface are visible to all of them (a hardcoded
+    path in one caller would silently split the cache on hosts where
+    ``$HOME`` differs)."""
+    return os.path.join(os.path.expanduser("~"), ".cache",
+                        "weather_unet_tpu_aot")
+
+
 def _backend_fingerprint() -> str:
     dev = jax.devices()[0]
     parts = [
@@ -124,13 +135,26 @@ class AotCache:
         re-serializes into a blob whose functions fail to resolve at load
         ("Function ... not found") — only a from-scratch compile serializes
         soundly.  (On the TPU backend the persistent cache never stores
-        executables, so this is a no-op there.)"""
+        executables, so this is a no-op there.)
+
+        Disabling the flag alone is NOT enough: ``is_cache_used`` memoizes
+        its decision once per process, so after any earlier cached compile
+        the flag flip is ignored and ``lowered.compile()`` silently
+        rehydrates an AOT result anyway (observed: the supervised-step
+        entry loaded from a warm persistent cache, then failed validation
+        after the serialize round-trip).  ``reset_cache()`` drops that memo
+        so the disable takes effect; the second reset lets later compiles
+        re-initialize the cache lazily under the restored flag."""
+        from jax.experimental.compilation_cache import compilation_cache as cc
+
         prev = jax.config.jax_enable_compilation_cache
         try:
             jax.config.update("jax_enable_compilation_cache", False)
+            cc.reset_cache()
             return lowered.compile()
         finally:
             jax.config.update("jax_enable_compilation_cache", prev)
+            cc.reset_cache()
 
     @staticmethod
     def _validate(exe, args) -> bool:
@@ -225,16 +249,36 @@ class AotJit:
         # args.  Serving passes the SAME variables dict on every dispatch
         # (api.BoundFn); walking its hundreds of param leaves per request
         # group is pure waste.  Only dicts are memoized (arrays are new
-        # objects each call), and the strong container ref pins the id.
+        # objects each call, and trainer states are fresh structs each step
+        # — their per-call leaf walk measured ~0.4 ms on a ~600-leaf GAN
+        # state with the dtype-name memo, noise against a ~400 ms step).
+        # The strong container ref
+        # pins the id; bounded FIFO eviction below keeps a caller cycling
+        # through many distinct dicts from growing the memo without bound.
         # Assumes bound containers are not mutated in place (they never are
         # here: weights change only by constructing a new WeatherTransfer).
         self._frag: dict = {}
+        self._frag_max = 64
 
-    @staticmethod
-    def _leaf_key(tree) -> tuple:
-        return tuple(
-            (getattr(l, "shape", ()), str(getattr(l, "dtype", type(l))))
-            for l in jax.tree_util.tree_leaves(tree))
+    _dtype_names: dict = {}   # dtype object -> str, shared across instances
+
+    @classmethod
+    def _leaf_key(cls, tree) -> tuple:
+        # str(dtype) dominates the walk (measured ~5 ms/call on a 600-leaf
+        # GAN state without the memo, ~1 ms with it); dtype objects are
+        # few and hashable, so their names are memoized class-wide
+        names = cls._dtype_names
+        out = []
+        for l in jax.tree_util.tree_leaves(tree):
+            d = getattr(l, "dtype", None)
+            if d is None:
+                out.append(((), type(l).__name__))
+                continue
+            n = names.get(d)
+            if n is None:
+                n = names[d] = str(d)
+            out.append((tuple(l.shape), n))
+        return tuple(out)
 
     def _shape_key(self, args) -> tuple:
         frags = []
@@ -243,6 +287,10 @@ class AotJit:
                 ent = self._frag.get(id(a))
                 if ent is None or ent[0] is not a:
                     ent = (a, self._leaf_key(a))
+                    if len(self._frag) >= self._frag_max:
+                        # FIFO: dicts old enough to rotate out of 64 slots
+                        # are not the steady-state bound container
+                        self._frag.pop(next(iter(self._frag)))
                     self._frag[id(a)] = ent
                 frags.append(ent[1])
             else:

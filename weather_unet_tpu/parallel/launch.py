@@ -161,8 +161,15 @@ class LockstepCompile:
     compile as cache hits, and a final barrier releases every rank together
     — no rank enters the first collective until all hold a ready
     executable.  Steady state dispatches the kept executable directly (one
-    attribute check); a later shape/sharding change falls back to the
-    wrapped jit's own dispatch.
+    attribute check, zero per-call key computation).  A later
+    shape/sharding change (e.g. a final partial batch) runs the SAME
+    protocol for the new signature — falling through to the wrapped jit's
+    own dispatch would be an uncoordinated concurrent first-compile, the
+    exact wedge this class exists to prevent — and the drift executable is
+    kept per-signature, so the primary fast path survives.  Drift detection
+    relies on the SPMD input contract: every rank sees the same batch
+    shapes in the same order (host-sharded loaders, identical seeds), so
+    all ranks enter the drift path together.
 
     Use through :func:`lockstep_compile`, which is the identity in
     single-process runs.
@@ -177,36 +184,57 @@ class LockstepCompile:
         seq = _lockstep_seq[name] = _lockstep_seq.get(name, -1) + 1
         self._name = f"{name}:{seq}"
         self._compiled = None
+        self._drift: dict = {}
         self._pending = jax.process_count() > 1
+
+    @staticmethod
+    def _sig(args) -> tuple:
+        """Shape/dtype signature of an argument pytree (hashable)."""
+        import jax
+
+        leaves, treedef = jax.tree_util.tree_flatten(args)
+        return treedef, tuple(
+            (tuple(getattr(l, "shape", ())),
+             str(getattr(l, "dtype", type(l).__name__)))
+            for l in leaves)
+
+    def _lockstep(self, *args, tag: str = ""):
+        """Rank-0-first compile + release barrier; returns the executable."""
+        import time
+
+        import jax
+
+        name = f"{tag}{self._name}"
+        rank = jax.process_index()
+        if rank != 0:
+            barrier(f"compile0:{name}")
+        t0 = time.perf_counter()
+        compiled = self._jitted.lower(*args).compile()
+        print(f"lockstep[{name}] rank {rank}: compiled in "
+              f"{time.perf_counter() - t0:.1f}s", flush=True)
+        if rank == 0:
+            barrier(f"compile0:{name}")
+        barrier(f"ready:{name}")
+        print(f"lockstep[{name}] rank {rank}: all ranks ready", flush=True)
+        return compiled
 
     def __call__(self, *args):
         if self._pending:
             self._pending = False
-            import time
-
-            import jax
-
-            rank = jax.process_index()
-            if rank != 0:
-                barrier(f"compile0:{self._name}")
-            t0 = time.perf_counter()
-            self._compiled = self._jitted.lower(*args).compile()
-            print(f"lockstep[{self._name}] rank {rank}: compiled in "
-                  f"{time.perf_counter() - t0:.1f}s", flush=True)
-            if rank == 0:
-                barrier(f"compile0:{self._name}")
-            barrier(f"ready:{self._name}")
-            print(f"lockstep[{self._name}] rank {rank}: all ranks ready",
-                  flush=True)
+            self._compiled = self._lockstep(*args)
         if self._compiled is not None:
             try:
                 return self._compiled(*args)
             except (TypeError, ValueError):
-                # signature drift from the compiled specialization (e.g. a
-                # final partial batch) — raised before execution/donation,
-                # so retrying through the jit is safe
-                self._compiled = None
-        return self._jitted(*args)
+                # signature drift from the primary specialization — raised
+                # before execution/donation, so re-dispatching is safe
+                pass
+        key = self._sig(args)
+        exe = self._drift.get(key)
+        if exe is None:
+            exe = self._drift[key] = self._lockstep(
+                *args, tag=f"drift{len(self._drift)}:")
+        return exe(*args)
 
 
 def lockstep_compile(jitted, name: str):

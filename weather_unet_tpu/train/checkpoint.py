@@ -101,9 +101,11 @@ class AsyncCheckpointer:
     """
 
     def __init__(self):
-        from concurrent.futures import ThreadPoolExecutor
-
-        self._pool = ThreadPoolExecutor(1, thread_name_prefix="ckpt")
+        # The worker thread is created lazily on the first save(): trainers
+        # construct a checkpointer unconditionally, but callers that drive
+        # train_epoch() directly (benches, tests) never save — an eager pool
+        # would leak one idle 'ckpt' thread per constructed trainer.
+        self._pool = None
         self._pending = None
 
     @staticmethod
@@ -118,6 +120,10 @@ class AsyncCheckpointer:
         """Schedule an async save; returns once the device-side snapshot is
         dispatched (microseconds), not when the file lands."""
         self.wait()
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(1, thread_name_prefix="ckpt")
         snap = jax.tree.map(self._snapshot, tree)
         self._pending = self._pool.submit(
             save_checkpoint, directory, name, step, snap)
@@ -131,7 +137,9 @@ class AsyncCheckpointer:
 
     def close(self) -> None:
         self.wait()
-        self._pool.shutdown()
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
 
     def __enter__(self):
         return self

@@ -7,6 +7,7 @@ scripts.
 from __future__ import annotations
 
 import functools
+import itertools
 import os
 import time
 from typing import Callable, Iterable, Optional
@@ -213,11 +214,15 @@ class WeatherTransferTrainer:
 
     def train_epoch(self, train_loader: Iterable, random_loader: Iterable,
                     test_batches=None, labeled: bool = False,
-                    stop: Optional[GracefulShutdown] = None):
+                    stop: Optional[GracefulShutdown] = None,
+                    skip_batches: int = 0):
         """One epoch over zipped content/condition streams
         (``t_est_train.py:362``).  Batches are ``(uint8 images, cond...,)``
         tuples from :class:`BatchLoader`; ``labeled`` selects the cls-mode
-        tuple layout ``(image, class_id)``."""
+        tuple layout ``(image, class_id)``.  ``skip_batches`` fast-forwards
+        past batches a preempted run already trained on (``fit`` computes it
+        on resume); skipped batches are still loaded host-side but never
+        shipped to the device."""
         bsh = self.plan.batch()
         try:  # lambda ramp denominator (t_est_train.py:355)
             self._all_step = self.cfg.num_epoch * len(train_loader)
@@ -231,9 +236,16 @@ class WeatherTransferTrainer:
         # (hosts only have their local shard — parallel/launch.py), so the
         # condition field joins the prefetch there.
         fields = [0] if jax.process_count() == 1 else [0, 1]
+        tl_it, rl_it = iter(train_loader), iter(random_loader)
+        if skip_batches:
+            # fast-forward BEFORE the prefetch so skipped batches are never
+            # device_put (they still pay host decode — the loaders have no
+            # random access by contract)
+            tl_it = itertools.islice(tl_it, skip_batches, None)
+            rl_it = itertools.islice(rl_it, skip_batches, None)
         zipped = zip(
-            device_prefetch(train_loader, sharding=bsh, device_fields=fields),
-            device_prefetch(random_loader, sharding=bsh, device_fields=fields))
+            device_prefetch(tl_it, sharding=bsh, device_fields=fields),
+            device_prefetch(rl_it, sharding=bsh, device_fields=fields))
         # HOT LOOP: no device->host reads here.  Metrics stay on device
         # (self._last_metrics) and are read back only at the 1000-step
         # summary cadence, matching the reference's actual TB-write cadence
@@ -246,8 +258,9 @@ class WeatherTransferTrainer:
         for data, rand_data in zipped:
             if stop is not None and stop.requested:
                 # preemption notice (SIGTERM): persist at the step boundary
-                # and bail — auto-resume continues from here, not from the
-                # last 1000-step cadence save (train/preemption.py)
+                # and bail — auto-resume restores this state (not the last
+                # 1000-step cadence save) and fit() fast-forwards the
+                # already-trained batches of the epoch (_epoch_skip)
                 if self.nan_guard and self._nonfinite_metrics():
                     # same invariant as the cadence path: a diverged state
                     # must never become the newest checkpoint — it would
@@ -397,19 +410,45 @@ class WeatherTransferTrainer:
             self.writer.add_image_grid(tag, imgs, step)
         self.image_dict = {}
 
+    def _epoch_skip(self, tl, rl, abs_ep: int) -> int:
+        """Batches of epoch ``abs_ep`` a resumed run already trained on.
+
+        A preemption save lands mid-epoch (state.epoch = the in-progress
+        epoch, global_step = steps completed).  With fixed-size epochs —
+        both loaders sized and drop_last, so every zipped batch is full and
+        steps-per-epoch is exactly ``min(len(tl), len(rl))`` — the position
+        within the epoch is ``global_step - abs_ep * steps_per_epoch`` and
+        the replay (``set_epoch`` makes the order deterministic) can be
+        fast-forwarded.  Without those guarantees returns 0: the epoch
+        replays from its start with global_step continuing, i.e. duplicate
+        training on the replayed batches — same semantics as relaunching
+        the reference under its auto-resume (t_est_train.py:151-163)."""
+        try:
+            spe = min(len(tl), len(rl))
+        except TypeError:
+            return 0
+        if not spe or not all(getattr(ld, "drop_last", False) for ld in (tl, rl)):
+            return 0
+        skip = self._gstep - abs_ep * spe
+        if 0 < skip < spe:
+            print(f"resume: fast-forwarding {skip}/{spe} batches of epoch "
+                  f"{abs_ep} (already trained before preemption)", flush=True)
+            return skip
+        return 0
+
     def fit(self, train_loader_fn: Callable[[], Iterable],
             random_loader_fn: Callable[[], Iterable], test_batches=None,
             labeled: bool = False):
         try:
             with trace(self.profile_dir), GracefulShutdown() as stop:
-                for _ in range(self.cfg.num_epoch):
+                # Loop on the ABSOLUTE epoch (state.epoch survives
+                # auto-resume): a run preempted at epoch 30/50 trains the
+                # remaining 20 epochs, not 50 more.  One host read per epoch
+                # boundary, off the hot loop.
+                while int(jax.device_get(self.state.epoch)) < self.cfg.num_epoch:
                     # Fresh shuffle/sampler draw per epoch (reference torch
                     # DataLoader behavior) — without this a loader rebuilt
                     # from a fixed seed replays epoch 0's order forever.
-                    # Seeded with the ABSOLUTE epoch (state.epoch survives
-                    # auto-resume) so a preempted run continues fresh orders
-                    # instead of replaying epoch 0's; one host read per
-                    # epoch boundary, off the hot loop.
                     tl, rl = train_loader_fn(), random_loader_fn()
                     abs_ep = int(jax.device_get(self.state.epoch))
                     for ld in (tl, rl):
@@ -419,7 +458,7 @@ class WeatherTransferTrainer:
                     if not self.train_epoch(
                             tl, rl,
                             test_batches=test_batches, labeled=labeled,
-                            stop=stop):
+                            stop=stop, skip_batches=self._epoch_skip(tl, rl, abs_ep)):
                         print("Done: training (preempted)")
                         return
             print("Done: training")
@@ -474,24 +513,36 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
     # Auto-resume, same semantics as WeatherTransferTrainer._resume: newest
     # checkpoint wins; optimizer state rides along so Adam moments survive a
     # preemption (the reference's classifier.py restarts cold every launch).
-    global_step, start_epoch = 0, 0
+    global_step, start_epoch, resume_epoch_step = 0, 0, 0
     path = ckpt.latest_checkpoint(save_dir, name)
     if path is not None:
         target = {"params": state.params, "batch_stats": state.extra,
-                  "opt_state": state.opt_state, "epoch": 0, "global_step": 0}
-        try:
+                  "opt_state": state.opt_state, "epoch": 0, "global_step": 0,
+                  "epoch_step": 0}
+        # older checkpoints lack the newer fields; retry with each optional
+        # field dropped (epoch_step: pre-fast-forward; opt_state: pre-round-3
+        # params-only) and fill the defaults back in
+        restored = None
+        for drop in ((), ("epoch_step",), ("epoch_step", "opt_state")):
+            t = {k: v for k, v in target.items() if k not in drop}
+            try:
+                restored = ckpt.restore_checkpoint(path, t)
+            except (KeyError, ValueError):
+                continue
+            restored.setdefault("epoch_step", 0)
+            restored.setdefault("opt_state", state.opt_state)
+            break
+        if restored is None:  # unreadable layout: surface the real error
             restored = ckpt.restore_checkpoint(path, target)
-        except (KeyError, ValueError):
-            # pre-round-3 checkpoint without opt_state: params-only resume
-            target.pop("opt_state")
-            restored = ckpt.restore_checkpoint(path, target)
-            restored["opt_state"] = state.opt_state
         state = state.replace(params=restored["params"],
                               extra=restored["batch_stats"],
                               opt_state=restored["opt_state"])
         global_step = int(restored["global_step"])
         start_epoch = int(restored["epoch"])
-        print(f"resumed from {path} at step {global_step}", flush=True)
+        resume_epoch_step = int(restored["epoch_step"])
+        print(f"resumed from {path} at step {global_step}"
+              + (f" (epoch {start_epoch} batch {resume_epoch_step})"
+                 if resume_epoch_step else ""), flush=True)
 
     base_key = put_host_local(rsh, train_key(seed))
     state = put_host_local(rsh, state)
@@ -504,13 +555,16 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
 
     ckpter = ckpt.AsyncCheckpointer()
 
-    def save(epoch, global_step):
+    def save(epoch, global_step, epoch_step=0):
         # Async: snapshot on device, write on the checkpointer thread
         # (train/checkpoint.py) — the epoch loop doesn't stall on D2H + IO.
+        # epoch_step records the position within an interrupted epoch so a
+        # resume can fast-forward instead of re-training the replayed head.
         ckpter.save(save_dir, name, global_step,
                     {"params": state.params, "batch_stats": state.extra,
                      "opt_state": state.opt_state,
-                     "epoch": epoch, "global_step": global_step})
+                     "epoch": epoch, "global_step": global_step,
+                     "epoch_step": epoch_step})
 
     train_metrics = []
     # single-process: targets ship with the dispatch (see WeatherTransferTrainer);
@@ -524,7 +578,18 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                 # fresh shuffle/sampler draw per epoch, deterministic in the
                 # absolute epoch index so auto-resume replays the same order
                 se(epoch)
-            for batch in device_prefetch(tl, sharding=bsh,
+            epoch_step = 0
+            tl_it = iter(tl)
+            if epoch == start_epoch and resume_epoch_step:
+                # fast-forward the batches a preempted run already trained
+                # on (the checkpoint stores the in-epoch position and
+                # set_epoch made the order deterministic); skipped batches
+                # still pay host decode but are never shipped to the device
+                print(f"resume: fast-forwarding {resume_epoch_step} batches "
+                      f"of epoch {epoch}", flush=True)
+                tl_it = itertools.islice(tl_it, resume_epoch_step, None)
+                epoch_step = resume_epoch_step
+            for batch in device_prefetch(tl_it, sharding=bsh,
                                          device_fields=fields):
                 if stop.requested:
                     # preemption notice: persist at the step boundary and
@@ -533,7 +598,7 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                     # context manager joins the write before returning.
                     print(f"preemption: signal {stop.signum} — checkpointing "
                           f"at step {global_step} and stopping", flush=True)
-                    save(epoch, global_step)
+                    save(epoch, global_step, epoch_step)
                     return state
                 t = batch[1]
                 targets = (t.astype(target_dtype) if isinstance(t, jax.Array)
@@ -565,6 +630,7 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                         writer.add_scalars(scalars, global_step)
                     train_metrics = []
                 global_step += 1
+                epoch_step += 1
 
             if epoch % save_per_epoch == 0:
                 # epoch+1 = first epoch a resume still has to run (the
