@@ -152,7 +152,11 @@ class ConditionalUNet(nn.Module):
         dt = self.dtype
         x = x.astype(dt)
         c = c.astype(dt)
-        drop = lambda h: nn.Dropout(self.dropout_rate, deterministic=not train)(h)
+        # framework-default dropout (ops/dropout.py::make_dropout): natively
+        # narrow u16 mask words, half the HBM traffic of nn.Dropout's u32
+        # bernoulli; WUT_DROPOUT=torch restores the old RNG stream
+        from weather_unet_tpu.ops.dropout import make_dropout
+        drop = lambda h: make_dropout(self.dropout_rate, not train)(h)
 
         conv1 = RDoubleConv(64, dtype=dt, name="down1")(x)
         h = max_pool_2x2(conv1)
