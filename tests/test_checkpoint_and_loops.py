@@ -382,3 +382,42 @@ def test_fit_seeds_loaders_with_absolute_epoch(tmp_path):
     tr.state = tr.state.replace(epoch=jnp.asarray(5, jnp.int32))
     tr.fit(lambda: RecLoader(), lambda: RecLoader())
     assert calls == [5, 5, 6, 6]   # (train, random) x 2 epochs, absolute
+
+
+def test_fit_terminal_save_off_cadence(tmp_path):
+    """A COMPLETED fit() must checkpoint its final state even when the step
+    count never hits the EVAL_PER_STEP cadence — otherwise a finished run
+    loses up to EVAL_PER_STEP-1 steps of trained state (the reference only
+    saves on its 1000-iter cadence; this is a deliberate superset)."""
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    rng = np.random.default_rng(0)
+
+    class FakeLoader:
+        def __iter__(self):
+            for _ in range(2):
+                yield (rng.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8),
+                       rng.standard_normal((8, 5)).astype(np.float32))
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    cfg = GanConfig(input_size=32, batch_size=8, num_epoch=2)
+    tr = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path), name="t",
+        log_dir=str(tmp_path / "runs"))
+    # default EVAL_PER_STEP (1000) never fires in a 4-step run
+    tr.fit(lambda: FakeLoader(), lambda: FakeLoader())
+    path = ckpt.latest_checkpoint(str(tmp_path), "t")
+    assert path is not None and path.endswith("ckpt_s0000000004.msgpack")
+    restored = ckpt.restore_checkpoint(path, tr.state)
+    assert int(restored.global_step) == 4
+    assert int(restored.epoch) == 2     # resume trains 0 further epochs
+
+    # a relaunch of the finished run must be a no-op (no extra steps/saves)
+    tr2 = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path), name="t",
+        log_dir=str(tmp_path / "runs"))
+    tr2.fit(lambda: FakeLoader(), lambda: FakeLoader())
+    assert int(tr2.state.global_step) == 4
+    assert ckpt.latest_checkpoint(str(tmp_path), "t") == path

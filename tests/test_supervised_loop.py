@@ -94,3 +94,29 @@ def test_pretrained_mask_freezes_backbone(rng):
     assert float(jax.tree.leaves(mask["layer1_0"])[0].sum()) == 0.0
     assert float(jax.tree.leaves(mask["fc"])[0].sum()) > 0
     assert float(jax.tree.leaves(mask["layer4_0"])[0].sum()) > 0
+
+
+def test_train_supervised_terminal_save(tmp_path, rng):
+    """With save_per_epoch > num_epoch the per-epoch cadence only fires at
+    epoch 0; the terminal save must still persist the run's final state."""
+    model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    state = TrainState.create(
+        variables["params"], torch_adam(1e-4, weight_decay=1e-4),
+        extra=variables["batch_stats"])
+
+    out_state = train_supervised(
+        model, make_classifier_step(model), make_eval_metrics(model, "classifier"),
+        lambda: FakeLoader(rng), lambda: FakeLoader(rng, n_batches=1),
+        state=state, num_epoch=2, writer=None,
+        augment_cfg=AugmentConfig(out_size=32),
+        save_dir=str(tmp_path), name="cls", eval_per_iter=100,
+        save_per_epoch=5, target_dtype=jnp.int32)
+    path = ckpt.latest_checkpoint(str(tmp_path), "cls")
+    assert path is not None and path.endswith("ckpt_s0000000004.msgpack")
+    restored = ckpt.restore_checkpoint(
+        path, {"params": out_state.params, "batch_stats": out_state.extra,
+               "opt_state": out_state.opt_state, "epoch": 0,
+               "global_step": 0, "epoch_step": 0})
+    assert restored["global_step"] == 4
+    assert restored["epoch"] == 2       # resume trains 0 further epochs

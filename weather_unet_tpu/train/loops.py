@@ -175,6 +175,7 @@ class WeatherTransferTrainer:
         # round-1 'weak' #1 — per-step host syncs serialize the async
         # dispatch stream over the axon tunnel).
         self._gstep = int(self.state.global_step)
+        self._saved_step = self._gstep  # last checkpointed step (terminal save guard)
         self._last_metrics = None  # device arrays, read back at summary cadence
         self._all_step = 0
         self._window_t0 = None
@@ -191,6 +192,7 @@ class WeatherTransferTrainer:
             self.state = ckpt.restore_checkpoint(path, self.state)
             print(f"resumed from {path} at step {int(self.state.global_step)}")
             self._gstep = int(self.state.global_step)
+            self._saved_step = self._gstep
 
     def _save(self):
         # Async: device-side snapshot now, D2H + serialize + write on the
@@ -198,6 +200,7 @@ class WeatherTransferTrainer:
         # stalling on the full-state host read (train/checkpoint.py).
         step = int(self.state.global_step)
         self._ckpt.save(self.save_dir, self.name, step, self.state)
+        self._saved_step = step
         if self.export_torch:
             out = os.path.join(
                 self.save_dir, self.name,
@@ -461,6 +464,11 @@ class WeatherTransferTrainer:
                             stop=stop, skip_batches=self._epoch_skip(tl, rl, abs_ep)):
                         print("Done: training (preempted)")
                         return
+                # terminal save: the cadence (EVAL_PER_STEP) almost never
+                # lands on the final step, so without this a completed run
+                # loses up to EVAL_PER_STEP-1 steps of trained state
+                if self._gstep != self._saved_step:
+                    self._save()
             print("Done: training")
         finally:
             # join the in-flight write AND release the worker thread — a
@@ -555,7 +563,11 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
 
     ckpter = ckpt.AsyncCheckpointer()
 
+    saved_step = global_step  # last checkpointed step (terminal save guard)
+
     def save(epoch, global_step, epoch_step=0):
+        nonlocal saved_step
+        saved_step = global_step
         # Async: snapshot on device, write on the checkpointer thread
         # (train/checkpoint.py) — the epoch loop doesn't stall on D2H + IO.
         # epoch_step records the position within an interrupted epoch so a
@@ -636,4 +648,8 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                 # epoch+1 = first epoch a resume still has to run (the
                 # preemption save above stores the interrupted epoch itself)
                 save(epoch + 1, global_step)
+        # terminal save: with save_per_epoch=N the cadence misses the last
+        # num_epoch % N epochs — a completed run must keep its final state
+        if global_step != saved_step:
+            save(num_epoch, global_step)
     return state
