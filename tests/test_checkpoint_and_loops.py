@@ -421,3 +421,98 @@ def test_fit_terminal_save_off_cadence(tmp_path):
     tr2.fit(lambda: FakeLoader(), lambda: FakeLoader())
     assert int(tr2.state.global_step) == 4
     assert ckpt.latest_checkpoint(str(tmp_path), "t") == path
+
+
+def test_cadence_never_saves_diverged_state_when_rollback_unavailable(tmp_path):
+    """nan_guard + divergence BEFORE any checkpoint exists: _maybe_rollback
+    has nothing to restore and returns False — the cadence must then SKIP
+    the save rather than checkpoint the NaN state (which would poison
+    auto-resume and every later rollback)."""
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    rng = np.random.default_rng(0)
+
+    class FakeLoader:
+        def __iter__(self):
+            for _ in range(2):
+                yield (rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+                       rng.standard_normal((4, 5)).astype(np.float32))
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    cfg = GanConfig(input_size=32, batch_size=4, num_epoch=1)
+    tr = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path), name="g",
+        log_dir=str(tmp_path / "runs"), nan_guard=True)
+    tr.EVAL_PER_STEP = 2
+    tr.DISPLAY_PER_STEP = 100
+    # poison the generator so the very first real steps produce NaN metrics
+    tr.state = tr.state.replace(gen=tr.state.gen.replace(
+        params=jax.tree.map(lambda a: jnp.full_like(a, jnp.nan),
+                            tr.state.gen.params)))
+    tr.fit(lambda: FakeLoader(), lambda: FakeLoader())
+    # neither the step-2 cadence nor the terminal save may persist NaNs
+    assert ckpt.latest_checkpoint(str(tmp_path), "g") is None
+
+    # without nan_guard the cadence save is unconditional (reference-
+    # equivalent: the reference checkpoints blindly every 1000 iters)
+    tr2 = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path / "off"), name="g2",
+        log_dir=str(tmp_path / "runs2"))
+    tr2.EVAL_PER_STEP = 2
+    tr2.state = tr2.state.replace(gen=tr2.state.gen.replace(
+        params=jax.tree.map(lambda a: jnp.full_like(a, jnp.nan),
+                            tr2.state.gen.params)))
+    tr2.fit(lambda: FakeLoader(), lambda: FakeLoader())
+    assert ckpt.latest_checkpoint(str(tmp_path / "off"), "g2") is not None
+
+
+def test_epoch_skip_full_epoch_boundary(tmp_path, capsys):
+    """A cadence save landing on an epoch's FINAL step stores the
+    pre-increment epoch; resume must fast-forward the WHOLE epoch (skip ==
+    steps-per-epoch) instead of re-training it — re-training would also skew
+    global_step past epoch*spe and silently disable exact-step resume for
+    the rest of the run."""
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    rng = np.random.default_rng(0)
+
+    class SizedLoader:
+        drop_last = True
+
+        def __len__(self):
+            return 2
+
+        def __iter__(self):
+            for _ in range(2):
+                yield (rng.integers(0, 255, (4, 32, 32, 3), dtype=np.uint8),
+                       rng.standard_normal((4, 5)).astype(np.float32))
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    cfg = GanConfig(input_size=32, batch_size=4, num_epoch=2)
+    tr = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path), name="b",
+        log_dir=str(tmp_path / "runs"))
+    tr.EVAL_PER_STEP = 2       # fires exactly on epoch 0's last step
+    tr.DISPLAY_PER_STEP = 100
+    tr.train_epoch(SizedLoader(), SizedLoader())
+    tr._ckpt.wait()
+    path = ckpt.latest_checkpoint(str(tmp_path), "b")
+    assert path is not None and path.endswith("s0000000002.msgpack")
+    # the cadence save stored epoch=0 (pre-increment), global_step=2
+
+    # relaunch: auto-resume restores epoch 0 / step 2 -> the whole epoch 0
+    # must fast-forward, epoch 1 trains normally, total steps == 4
+    tr2 = WeatherTransferTrainer(
+        cfg, est_apply, save_dir=str(tmp_path), name="b",
+        log_dir=str(tmp_path / "runs"))
+    assert int(tr2.state.global_step) == 2 and int(tr2.state.epoch) == 0
+    capsys.readouterr()
+    tr2.fit(lambda: SizedLoader(), lambda: SizedLoader())
+    out = capsys.readouterr().out
+    assert "fast-forwarding 2/2 batches of epoch 0" in out
+    assert int(tr2.state.global_step) == 4     # epoch 0 NOT re-trained
+    assert int(tr2.state.epoch) == 2

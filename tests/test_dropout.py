@@ -171,3 +171,15 @@ def test_cunet_train_forward_uses_bits_dropout(monkeypatch):
     e1 = gen.apply(v, xr, c)
     monkeypatch.setenv("WUT_DROPOUT", "torch")
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(gen.apply(v, xr, c)))
+
+
+def test_make_dropout_rejects_unknown_impl(monkeypatch):
+    """A typo'd WUT_DROPOUT must fail loudly, not silently draw the default
+    mask stream (the reproducibility failure the env var exists to prevent)."""
+    import pytest
+
+    from weather_unet_tpu.ops.dropout import make_dropout
+
+    monkeypatch.setenv("WUT_DROPOUT", "torch32")
+    with pytest.raises(ValueError, match="WUT_DROPOUT"):
+        make_dropout(0.3, False)

@@ -189,3 +189,19 @@ def test_worker_refuses_single_process():
     res = subprocess.run([sys.executable, WORKER], env=env,
                          capture_output=True, timeout=120)
     assert res.returncode != 0
+
+
+def test_launch_local_tears_down_peers_on_rank_failure():
+    """One rank dying must terminate its peers promptly — a sequential
+    wait() blocked on rank 0 would leave survivors wedged in a collective
+    for the full gloo/barrier timeout instead of failing fast."""
+    import time as _time
+
+    script = ("import os, sys, time\n"
+              "rank = int(os.environ['WUT_PROCESS_ID'])\n"
+              "sys.exit(3) if rank == 1 else time.sleep(120)\n")
+    t0 = _time.monotonic()
+    rc = launch.launch_local(2, [sys.executable, "-c", script], timeout=90)
+    elapsed = _time.monotonic() - t0
+    assert rc == 3
+    assert elapsed < 30, f"peers not torn down fail-fast ({elapsed:.0f}s)"

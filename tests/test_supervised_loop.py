@@ -120,3 +120,38 @@ def test_train_supervised_terminal_save(tmp_path, rng):
                "global_step": 0, "epoch_step": 0})
     assert restored["global_step"] == 4
     assert restored["epoch"] == 2       # resume trains 0 further epochs
+
+
+def test_train_supervised_resumes_oldest_checkpoint_layout(tmp_path, rng, capsys):
+    """Params-only checkpoints (pre-round-3) stored 'epoch' as the
+    just-COMPLETED epoch; every later layout stores the first epoch still to
+    run. Resume must add +1 for the old layout or it re-trains a finished
+    epoch."""
+    model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    mk_state = lambda: TrainState.create(
+        variables["params"], torch_adam(1e-4, weight_decay=1e-4),
+        extra=variables["batch_stats"])
+
+    # old-layout checkpoint written after COMPLETING epoch 1 (of 2)
+    ckpt.save_checkpoint(str(tmp_path), "old", 4,
+                         {"params": variables["params"],
+                          "batch_stats": variables["batch_stats"],
+                          "epoch": 1, "global_step": 4})
+
+    epochs_run = []
+
+    def train_loader_fn():
+        epochs_run.append(1)
+        return FakeLoader(rng)
+
+    train_supervised(
+        model, make_classifier_step(model), make_eval_metrics(model, "classifier"),
+        train_loader_fn, lambda: FakeLoader(rng, n_batches=1),
+        state=mk_state(), num_epoch=2, writer=None,
+        augment_cfg=AugmentConfig(out_size=32),
+        save_dir=str(tmp_path), name="old", eval_per_iter=100,
+        save_per_epoch=1, target_dtype=jnp.int32)
+    # epoch 1 was already complete -> zero epochs re-trained
+    assert epochs_run == []
+    assert "resumed from" in capsys.readouterr().out

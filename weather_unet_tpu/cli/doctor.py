@@ -24,7 +24,7 @@ def collect(probe: bool = False) -> dict:
     import jax
 
     from weather_unet_tpu import runtime
-    from weather_unet_tpu.core.profiling import _host_fingerprint
+    from weather_unet_tpu.core.profiling import XLA_CACHE_DIR, _host_fingerprint
 
     info: dict = {"python": sys.version.split()[0], "jax": jax.__version__}
     try:
@@ -60,8 +60,7 @@ def collect(probe: bool = False) -> dict:
 
     # compile caches
     xla_cache = os.path.join(
-        os.path.expanduser("~/.cache/weather_unet_tpu_xla"),
-        _host_fingerprint())
+        os.path.expanduser(XLA_CACHE_DIR), _host_fingerprint())
     info["xla_compile_cache"] = {
         "dir": xla_cache,
         "enabled": os.environ.get("WUT_COMPILE_CACHE", "1") != "0",

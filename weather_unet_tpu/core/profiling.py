@@ -84,7 +84,11 @@ def _host_fingerprint() -> str:
     return h.hexdigest()[:12]
 
 
-def enable_compilation_cache(path: str = "~/.cache/weather_unet_tpu_xla"):
+# single source of truth for the default cache root (wut-doctor reports it)
+XLA_CACHE_DIR = "~/.cache/weather_unet_tpu_xla"
+
+
+def enable_compilation_cache(path: str = XLA_CACHE_DIR):
     """Persistent XLA compilation cache — first-compile times on TPU are
     minutes (CLAUDE.md); caching makes restarts/resumes near-instant.
 

@@ -138,4 +138,10 @@ def make_dropout(rate: float, deterministic: bool) -> nn.Module:
     impl = os.environ.get("WUT_DROPOUT", "bits16")
     if impl == "torch":
         return nn.Dropout(rate, deterministic=deterministic)
+    if impl != "bits16":
+        # a typo'd value silently falling through to the default would draw
+        # the WRONG mask stream — the reproducibility failure this env var
+        # exists to prevent (same policy as core/rng.py's WUT_PRNG_IMPL)
+        raise ValueError(
+            f"WUT_DROPOUT={impl!r}: expected 'bits16' or 'torch'")
     return BitsDropout(rate, deterministic=deterministic)

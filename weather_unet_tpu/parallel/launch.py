@@ -42,6 +42,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 from typing import Optional, Sequence
 
 
@@ -287,9 +288,24 @@ def launch_local(n_processes: int, cmd: Sequence[str], *,
                                       stderr=subprocess.STDOUT if out else None))
     rc = 0
     try:
-        for p in procs:
-            r = p.wait(timeout=timeout)
-            rc = rc or r
+        # Poll ALL ranks rather than wait()ing on them in order: a
+        # sequential wait blocked on rank 0 never notices rank k dying, so
+        # the surviving peers would sit wedged in a gloo collective until
+        # its timeout instead of being torn down fail-fast (the documented
+        # contract).  First nonzero exit stops the poll; the finally block
+        # terminates the survivors by pid.
+        deadline = None if timeout is None else time.monotonic() + timeout
+        live = list(procs)
+        while live and rc == 0:
+            for p in list(live):
+                r = p.poll()
+                if r is not None:
+                    live.remove(p)
+                    rc = rc or r
+            if live and rc == 0:
+                if deadline is not None and time.monotonic() > deadline:
+                    raise subprocess.TimeoutExpired(cmd, timeout)
+                time.sleep(0.2)
     finally:
         for p in procs:
             if p.poll() is None:

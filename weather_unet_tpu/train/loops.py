@@ -308,6 +308,13 @@ class WeatherTransferTrainer:
                 if self._maybe_rollback():
                     base_key = self._base_key   # rollback re-seeded it
                     continue
+                if self.nan_guard and self._nonfinite_metrics():
+                    # diverged but rollback unavailable (no checkpoint yet /
+                    # retries exhausted): same invariant as the preemption
+                    # path — a diverged state must never become the newest
+                    # checkpoint (it would poison auto-resume AND the
+                    # rollback target of every later cadence)
+                    continue
                 self._save()
                 if test_batches is not None:
                     self.evaluate(test_batches)
@@ -433,7 +440,13 @@ class WeatherTransferTrainer:
         if not spe or not all(getattr(ld, "drop_last", False) for ld in (tl, rl)):
             return 0
         skip = self._gstep - abs_ep * spe
-        if 0 < skip < spe:
+        # skip == spe: a cadence save landed on the epoch's FINAL step (saved
+        # before the epoch counter increments) — the epoch is fully trained,
+        # so fast-forward all of it; train_epoch then just bumps the counter.
+        # Without this the whole epoch re-trains AND global_step ends the run
+        # spe ahead of epoch*spe, silently disabling exact-step resume for
+        # every later preemption.
+        if 0 < skip <= spe:
             print(f"resume: fast-forwarding {skip}/{spe} batches of epoch "
                   f"{abs_ep} (already trained before preemption)", flush=True)
             return skip
@@ -466,8 +479,11 @@ class WeatherTransferTrainer:
                         return
                 # terminal save: the cadence (EVAL_PER_STEP) almost never
                 # lands on the final step, so without this a completed run
-                # loses up to EVAL_PER_STEP-1 steps of trained state
-                if self._gstep != self._saved_step:
+                # loses up to EVAL_PER_STEP-1 steps of trained state (a
+                # diverged final state is excluded — same invariant as the
+                # cadence/preemption saves)
+                if self._gstep != self._saved_step and not (
+                        self.nan_guard and self._nonfinite_metrics()):
                     self._save()
             print("Done: training")
         finally:
@@ -537,6 +553,12 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                 restored = ckpt.restore_checkpoint(path, t)
             except (KeyError, ValueError):
                 continue
+            if "opt_state" in drop:
+                # oldest (params-only) layout: 'epoch' stored the just-
+                # COMPLETED epoch (every later layout stores the first epoch
+                # still to run) — without the +1 an old checkpoint re-trains
+                # a full epoch
+                restored["epoch"] = int(restored["epoch"]) + 1
             restored.setdefault("epoch_step", 0)
             restored.setdefault("opt_state", state.opt_state)
             break
