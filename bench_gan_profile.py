@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--trace_dir", default="/tmp/gan_profile")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (smoke-testing the script)")
+    ap.add_argument("--dump_hlo", default=None,
+                    help="also write the executable's optimized HLO text "
+                         "here (feeds tools/parse_xplane.py --hlo, which "
+                         "classifies anonymous fusions by body)")
     ap.add_argument("--prng", default="rbg",
                     choices=["threefry2x32", "rbg", "unsafe_rbg"],
                     help="impl for the per-step key (dropout masks); rbg = "
@@ -84,6 +88,13 @@ def main():
     print(f"executable ready in {time.perf_counter()-t0:.1f}s "
           f"(hits={cache.stats['hits']} misses={cache.stats['misses']})",
           flush=True)
+    if args.dump_hlo:
+        try:
+            with open(args.dump_hlo, "w") as f:
+                f.write(step.as_text())
+            print(f"optimized HLO -> {args.dump_hlo}", flush=True)
+        except Exception as e:  # deserialized executables may not carry HLO
+            print(f"HLO dump unavailable: {e}", flush=True)
 
     # first dispatch pays the per-process program load (minutes on tunnel)
     t0 = time.perf_counter()

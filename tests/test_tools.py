@@ -54,3 +54,59 @@ def test_parse_xplane_empty_dir_exits_nonzero(tmp_path):
                          capture_output=True, text=True, timeout=60)
     assert out.returncode != 0
     assert "no *.xplane.pb" in out.stderr
+
+
+def test_hlo_fusion_map_classifies_anonymous_fusions():
+    """load_hlo_fusion_map must classify %fusion.N by its computation BODY
+    (xplane names alone file everything under 'fusion'), and
+    categorize_with_hlo must apply the map only to fusion events."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("parse_xplane", TOOL)
+    px = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(px)
+
+    hlo = """\
+HloModule jit_step_fn
+
+%fused_computation.1 (p0: bf16[8,8,3], p1: bf16[3,3,3,4]) -> bf16[8,8,4] {
+  %p0 = bf16[8,8,3] parameter(0)
+  %p1 = bf16[3,3,3,4] parameter(1)
+  %convolution.7 = bf16[8,8,4] convolution(%p0, %p1), window={size=3x3}
+  ROOT %add.1 = bf16[8,8,4] add(%convolution.7, %convolution.7)
+}
+
+%fused_computation.2 (p0: f32[64]) -> f32[64] {
+  %p0 = f32[64] parameter(0)
+  ROOT %multiply.3 = f32[64] multiply(%p0, %p0)
+}
+
+ENTRY %main (a: bf16[8,8,3]) -> bf16[8,8,4] {
+  %a = bf16[8,8,3] parameter(0)
+  %fusion.10 = bf16[8,8,4] fusion(%a), kind=kOutput, calls=%fused_computation.1
+  %fusion.11 = f32[64] fusion(), kind=kLoop, calls=%fused_computation.2
+  ROOT %r = bf16[8,8,4] copy(%fusion.10)
+}
+"""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".hlo.txt",
+                                     delete=False) as f:
+        f.write(hlo)
+        hlo_path = f.name
+    try:
+        fmap = px.load_hlo_fusion_map(hlo_path)
+    finally:
+        os.unlink(hlo_path)
+    assert fmap["fusion.10"] == "convolution (fused)"
+    assert fmap["fusion.11"] == "elementwise (fused)"
+
+    ev_conv = "%fusion.10 = bf16[8,8,4]{2,1,0:T(8,128)} fusion(%copy-done.3)"
+    ev_elem = "%fusion.11 = f32[64]{0:T(128)} fusion(%convert.9)"
+    ev_copy = "%copy.5 = f32[64]{0:T(128)} copy(%fusion.11)"
+    assert px.categorize_with_hlo(ev_conv, fmap) == "convolution (fused)"
+    assert px.categorize_with_hlo(ev_elem, fmap) == "elementwise (fused)"
+    assert px.categorize_with_hlo(ev_copy, fmap) == "copy/relayout"
+    # operand text must NOT leak into the category (the old bug)
+    assert px.categorize(ev_copy) == "copy/relayout"
+    assert px.categorize(ev_conv) == "fusion"

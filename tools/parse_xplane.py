@@ -18,23 +18,97 @@ import re
 import sys
 
 
+_OPCODE_RE = re.compile(
+    # "%name = <shape-or-tuple> OPCODE(" — the HLO opcode, not the operand
+    # text (matching the whole instruction string mis-filed e.g. a fusion
+    # consuming %copy-done.123 under copy/relayout, and anything containing
+    # "convert" under convolution; categories were badly skewed)
+    r"=\s*(?:\([^)]*\)|\S+)\s+([a-z][a-z0-9._-]*)\(")
+
+
 def categorize(name: str) -> str:
-    n = name.lower()
+    m = _OPCODE_RE.search(name)
+    # fall back to the leading %token (events sometimes carry bare op names)
+    op = m.group(1) if m else name.lower().lstrip("%").split(" ")[0]
+    op = op.split(".")[0]          # %copy-start.2106 -> copy-start
     for pat, cat in [
-        (r"convolution|conv", "convolution"),
-        (r"all-reduce|all-gather|reduce-scatter|collective|permute", "collective"),
-        (r"copy|transpose|bitcast", "copy/relayout"),
+        (r"^convolution", "convolution"),
+        (r"^(all-reduce|all-gather|reduce-scatter|collective|permute)",
+         "collective"),
+        (r"^(copy|transpose|bitcast)", "copy/relayout"),
         (r"fusion", "fusion"),
-        (r"dot|matmul|einsum", "dot"),
-        (r"reduce", "reduce"),
-        (r"dynamic-update|dynamic-slice|slice|gather|scatter|pad|concat|reshape",
-         "data-movement"),
-        (r"rng|random", "rng"),
-        (r"infeed|outfeed|host", "host-io"),
+        (r"^(dot|matmul|einsum)", "dot"),
+        (r"^(reduce|select-and-scatter)", "reduce"),
+        (r"^(dynamic-update|dynamic-slice|slice|gather|scatter|pad|concat"
+         r"|reshape)", "data-movement"),
+        (r"^(rng|random)", "rng"),
+        (r"^(infeed|outfeed|host|send|recv)", "host-io"),
+        (r"^custom-call", "custom-call"),
     ]:
-        if re.search(pat, n):
+        if re.search(pat, op):
             return cat
     return "other"
+
+
+_COMPUTATION_RE = re.compile(r"^\s*%?([\w.-]+)\s*(?:\([^)]*\))?\s*->.*\{\s*$")
+_CALLS_RE = re.compile(r"calls=%?([\w.-]+)")
+_BODY_OP_RE = re.compile(r"=\s*(?:\([^)]*\)|\S+)\s+([a-z][a-z0-9._-]*)\(")
+
+
+def load_hlo_fusion_map(path: str) -> dict:
+    """Map fusion-instruction name -> category, from optimized HLO text.
+
+    xplane events carry only op NAMES; on TPU the convolutions (and most of
+    the FLOPs) live inside anonymous ``%fusion.N`` instructions, so a
+    name-only category rollup files ~90% of the step under "fusion".  The
+    HLO module text (``compiled.as_text()``, e.g. ``bench_gan_profile.py
+    --dump_hlo``) names each fusion's called computation; classifying the
+    computation's BODY opcodes recovers an honest breakdown."""
+    comp_ops: dict = {}
+    fusion_calls: dict = {}
+    current = None
+    with open(path) as f:
+        for raw in f:
+            m = _COMPUTATION_RE.match(raw)
+            if m and "=" not in raw.split("->")[0]:
+                current = m.group(1)
+                comp_ops[current] = set()
+                continue
+            if raw.startswith("}"):
+                current = None
+                continue
+            mo = _BODY_OP_RE.search(raw)
+            if mo and current is not None:
+                comp_ops[current].add(mo.group(1).split(".")[0])
+            if " fusion(" in raw:
+                lhs = raw.split("=")[0].strip().lstrip("%")
+                mc = _CALLS_RE.search(raw)
+                if mc:
+                    fusion_calls[lhs] = mc.group(1)
+
+    def classify(ops: set) -> str:
+        if "convolution" in ops:
+            return "convolution (fused)"
+        if "dot" in ops:
+            return "dot (fused)"
+        if "rng-bit-generator" in ops:
+            return "rng (fused)"
+        if ops & {"reduce", "reduce-window", "select-and-scatter"}:
+            return "reduce (fused)"
+        if ops & {"transpose", "copy"}:
+            return "copy/relayout (fused)"
+        return "elementwise (fused)"
+
+    return {fusion: classify(comp_ops.get(comp, set()))
+            for fusion, comp in fusion_calls.items()}
+
+
+def categorize_with_hlo(name: str, fusion_map: dict) -> str:
+    base = categorize(name)
+    if base != "fusion" or not fusion_map:
+        return base
+    lhs = name.split("=")[0].strip().lstrip("%")
+    return fusion_map.get(lhs, "fusion (unmapped)")
 
 
 def main():
@@ -48,7 +122,12 @@ def main():
                          "(default: device planes, i.e. TPU/GPU/device)")
     ap.add_argument("--list", action="store_true",
                     help="just list plane/line names and event counts")
+    ap.add_argument("--hlo", default=None,
+                    help="optimized HLO text of the traced executable "
+                         "(bench_gan_profile.py --dump_hlo); classifies "
+                         "anonymous %%fusion.N ops by their computation body")
     args = ap.parse_args()
+    fusion_map = load_hlo_fusion_map(args.hlo) if args.hlo else {}
 
     import jax  # noqa: F401  (ProfileData lives under jax.profiler)
     jax.config.update("jax_platforms", "cpu")
@@ -95,7 +174,7 @@ def main():
                   f"span={span/1e6:.2f}ms occupancy={busy/max(span,1):.1%}")
             by_cat = collections.Counter()
             for name, dur in by_name.items():
-                by_cat[categorize(name)] += dur
+                by_cat[categorize_with_hlo(name, fusion_map)] += dur
             print("  -- by category --")
             for cat, dur in by_cat.most_common():
                 print(f"  {dur/1e6:10.2f} ms  {dur/busy:6.1%}  {cat}")
