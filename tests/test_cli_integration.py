@@ -307,3 +307,27 @@ def test_doctor_cli(capsys):
     assert "available" in info["native_runtime"]
     assert "entries" in info["xla_compile_cache"]
     assert info["probe_roundtrip_ms"] >= 0.0
+
+
+def test_doctor_survives_unreachable_backend(capsys, monkeypatch):
+    """A hung backend (tunneled TPU with the link down) must not hang the
+    diagnostics tool: the init watchdog reports the device unreachable,
+    host-side facts still print, and the exit code is nonzero."""
+    import json
+    import time as _time
+
+    import jax
+
+    from weather_unet_tpu.cli import doctor
+
+    monkeypatch.setattr(jax, "devices",
+                        lambda *a, **k: _time.sleep(30))  # blocks past timeout
+    rc = doctor.main(["--json", "--init_timeout", "0.2"])
+    assert rc == 1
+    info = json.loads(capsys.readouterr().out)
+    assert info["backend_ok"] is False
+    assert "timed out" in info["backend_error"]
+    # host-side sections still reported without a live backend
+    assert "available" in info["native_runtime"]
+    assert "entries" in info["xla_compile_cache"]
+    assert "device_count" not in info

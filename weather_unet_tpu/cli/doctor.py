@@ -20,7 +20,35 @@ import sys
 import time
 
 
-def collect(probe: bool = False) -> dict:
+def _init_backend(timeout_s: float) -> dict:
+    """Initialize the JAX backend under a watchdog.
+
+    ``jax.devices()`` blocks uninterruptibly while a tunneled/remote TPU
+    plugin (axon) retries an unreachable backend — precisely the failure a
+    diagnostics tool is run to explain.  Init runs on a daemon thread; on
+    timeout the host-side report still prints and the tool exits nonzero
+    instead of hanging."""
+    import threading
+
+    out: dict = {}
+
+    def target():
+        try:
+            import jax
+
+            out["devices"] = jax.devices()
+        except Exception as e:
+            out["error"] = repr(e)
+
+    t = threading.Thread(target=target, daemon=True, name="wut-doctor-init")
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        out["timeout"] = timeout_s
+    return out
+
+
+def collect(probe: bool = False, init_timeout: float = 60.0) -> dict:
     import jax
 
     from weather_unet_tpu import runtime
@@ -34,7 +62,18 @@ def collect(probe: bool = False) -> dict:
     except Exception:
         info["jaxlib"] = None
 
-    devs = jax.devices()
+    backend = _init_backend(init_timeout)
+    if "devices" not in backend:
+        info["backend_ok"] = False
+        info["backend_error"] = (
+            f"backend init timed out after {init_timeout:.0f}s — remote/"
+            f"tunneled TPU unreachable?" if backend.get("timeout")
+            else backend.get("error"))
+        info["platform"] = os.environ.get("JAX_PLATFORMS", "?")
+        _collect_host_side(info, runtime, XLA_CACHE_DIR, _host_fingerprint)
+        return info
+    info["backend_ok"] = True
+    devs = backend["devices"]
     info["platform"] = devs[0].platform
     info["devices"] = [str(d) for d in devs]
     info["device_count"] = len(devs)
@@ -47,33 +86,7 @@ def collect(probe: bool = False) -> dict:
     plan = make_mesh()
     info["default_mesh"] = dict(plan.mesh.shape)
 
-    # env contract
-    info["wut_env"] = {k: v for k, v in os.environ.items()
-                       if k.startswith("WUT_")}
-
-    # native runtime
-    info["native_runtime"] = {
-        "available": runtime.native_available(),
-        "so_path": getattr(runtime, "_SO", None),
-        "so_built": os.path.exists(getattr(runtime, "_SO", "")),
-    }
-
-    # compile caches
-    xla_cache = os.path.join(
-        os.path.expanduser(XLA_CACHE_DIR), _host_fingerprint())
-    info["xla_compile_cache"] = {
-        "dir": xla_cache,
-        "enabled": os.environ.get("WUT_COMPILE_CACHE", "1") != "0",
-        "entries": len(os.listdir(xla_cache)) if os.path.isdir(xla_cache) else 0,
-    }
-    from weather_unet_tpu.core.aot import default_cache_dir
-    aot_dir = default_cache_dir()
-    info["aot_executable_cache"] = {
-        "dir": aot_dir,
-        "entries": len([f for f in os.listdir(aot_dir)
-                        if f.endswith(".aotexe")])
-        if os.path.isdir(aot_dir) else 0,
-    }
+    _collect_host_side(info, runtime, XLA_CACHE_DIR, _host_fingerprint)
 
     if probe:
         import jax.numpy as jnp
@@ -91,12 +104,44 @@ def collect(probe: bool = False) -> dict:
     return info
 
 
+def _collect_host_side(info: dict, runtime, xla_cache_dir: str,
+                       host_fingerprint) -> None:
+    """Facts that need no live backend: env contract, native runtime,
+    compile caches — still reported when the device is unreachable."""
+    info["wut_env"] = {k: v for k, v in os.environ.items()
+                       if k.startswith("WUT_")}
+    info["native_runtime"] = {
+        "available": runtime.native_available(),
+        "so_path": getattr(runtime, "_SO", None),
+        "so_built": os.path.exists(getattr(runtime, "_SO", "")),
+    }
+    xla_cache = os.path.join(
+        os.path.expanduser(xla_cache_dir), host_fingerprint())
+    info["xla_compile_cache"] = {
+        "dir": xla_cache,
+        "enabled": os.environ.get("WUT_COMPILE_CACHE", "1") != "0",
+        "entries": len(os.listdir(xla_cache)) if os.path.isdir(xla_cache) else 0,
+    }
+    from weather_unet_tpu.core.aot import default_cache_dir
+    aot_dir = default_cache_dir()
+    info["aot_executable_cache"] = {
+        "dir": aot_dir,
+        "entries": len([f for f in os.listdir(aot_dir)
+                        if f.endswith(".aotexe")])
+        if os.path.isdir(aot_dir) else 0,
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="weather_unet_tpu environment diagnostics")
     p.add_argument("--probe", action="store_true",
                    help="time a tiny device dispatch + host read-back")
     p.add_argument("--json", action="store_true", help="machine-readable")
+    p.add_argument("--init_timeout", type=float, default=60.0,
+                   help="seconds to wait for backend init before reporting "
+                        "the device unreachable (tunneled TPUs block "
+                        "uninterruptibly when the link is down)")
     args = p.parse_args(argv)
     # honor the WUT_* env contract (WUT_CPU_DEVICES / multi-process) BEFORE
     # backend init, exactly like the training CLIs — doctor must diagnose
@@ -104,13 +149,13 @@ def main(argv=None) -> int:
     from weather_unet_tpu.parallel.launch import maybe_initialize
 
     maybe_initialize()
-    info = collect(probe=args.probe)
+    info = collect(probe=args.probe, init_timeout=args.init_timeout)
     if args.json:
         print(json.dumps(info, indent=2, default=str))
     else:
         for k, v in info.items():
             print(f"{k:24s} {v}")
-    return 0
+    return 0 if info.get("backend_ok", True) else 1
 
 
 if __name__ == "__main__":
