@@ -34,5 +34,6 @@ def run(batch, dtype_name):
     dt_s = (time.perf_counter()-t0)/n
     print(f"train step {dtype_name} B={batch}: {dt_s*1e3:.1f} ms/step -> {batch/dt_s:.1f} img/s  (g_loss={float(m['g_loss']):.3f})")
 
-run(8, "f32")
-run(128, "bf16")
+if __name__ == "__main__":
+    run(8, "f32")
+    run(128, "bf16")

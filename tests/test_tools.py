@@ -110,3 +110,22 @@ ENTRY %main (a: bf16[8,8,3]) -> bf16[8,8,4] {
     # operand text must NOT leak into the category (the old bug)
     assert px.categorize(ev_copy) == "copy/relayout"
     assert px.categorize(ev_conv) == "fusion"
+
+
+def test_bench_scripts_import_cleanly():
+    """Every bench_*.py (and bench.py, the driver contract) must at least
+    import: they are run rarely and on real TPU hardware, so plain bitrot
+    (renamed APIs, moved modules) should be caught by the CPU suite, not by
+    a failed driver run."""
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scripts = sorted(
+        p for p in os.listdir(repo)
+        if p == "bench.py" or (p.startswith("bench_") and p.endswith(".py")))
+    assert len(scripts) >= 10
+    for script in scripts:
+        spec = importlib.util.spec_from_file_location(
+            script[:-3], os.path.join(repo, script))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)     # __main__-guarded: no device work
