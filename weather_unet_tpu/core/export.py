@@ -1,0 +1,148 @@
+"""Portable serving artifacts: the cUNet forward as serialized StableHLO.
+
+``core/aot.py`` caches *device executables* — the fastest restart on the
+same machine, but each entry is pinned to one backend fingerprint (platform,
+device kind, jax version).  This module is the complementary portable path,
+built on ``jax.export``: the serving forward is traced once with a
+*symbolic batch dimension* and serialized as versioned StableHLO.  One
+artifact then serves ANY batch size on ANY host that can lower StableHLO
+(TPU, CPU, GPU), without the model code or checkpoint — weights are baked
+into the module as constants, which is exactly right for a frozen
+deployment snapshot (and exactly wrong for the AOT cache, see the argument
+in ``core/aot.py``).
+
+The reference has no deployment story beyond shipping ``.pt`` pickles plus
+the full source tree (``demo.py:51-54`` re-instantiates the nn.Module to
+load them); this is the TPU-native replacement: a self-contained, versioned,
+shape-polymorphic compiler artifact.
+
+Artifact layout (a directory):
+
+    manifest.json           sizes, dtype, jax/module versions, platforms
+    translate.stablehlo     f32/bf16 (b,H,W,3)[-1,1] + (b,C) -> (b,H,W,3)
+    translate_u8.stablehlo  uint8 wire path (normalize/denorm fused on device)
+
+Round trip::
+
+    exps = export_transfer(model, variables)          # symbolic batch "b"
+    save_artifact("art/", exps)
+    art = load_artifact("art/")
+    y = art["translate"](x, c)        # any batch size, no retrace
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+_MODULE_SUFFIX = ".stablehlo"
+
+
+def export_transfer(model, variables, *, size: int = 256,
+                    batch: Optional[int] = None,
+                    platforms: Optional[Sequence[str]] = None
+                    ) -> Dict[str, jexport.Exported]:
+    """Export the serving forwards of a loaded cUNet.
+
+    ``batch=None`` (default) exports with a symbolic batch dimension ``b``:
+    the artifact accepts any batch size.  A concrete ``batch`` pins the
+    leading dimension instead (use when the consumer's compiler lacks
+    dynamic-shape support).  ``platforms`` defaults to the current backend;
+    pass e.g. ``("tpu", "cpu")`` for a multi-platform module.
+
+    Returns ``{"translate": Exported, "translate_u8": Exported}`` — the same
+    two wire formats ``api.WeatherTransfer`` serves (f32/bf16 tensors in
+    [-1, 1], and the uint8 fast path with normalize/denormalize fused into
+    the graph).
+    """
+    dtype = getattr(model, "dtype", jnp.float32)
+    ncls = model.num_classes
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = batch
+    x_spec = jax.ShapeDtypeStruct((b, size, size, 3), dtype)
+    c_spec = jax.ShapeDtypeStruct((b, ncls), dtype)
+    xu8_spec = jax.ShapeDtypeStruct((b, size, size, 3), jnp.uint8)
+
+    def translate(x, c):
+        return model.apply(variables, x, c)
+
+    def translate_u8(x_u8, c):
+        # mirror api.WeatherTransfer._fwd_u8: uint8 both ways on the wire,
+        # normalize exactly like data.transforms.normalize_batch
+        x = x_u8.astype(jnp.float32) / 255.0
+        y = model.apply(variables, (x - 0.5) / 0.5, c.astype(dtype))
+        return ((y.astype(jnp.float32) + 1.0) * 127.5).clip(0, 255
+                                                            ).astype(jnp.uint8)
+
+    kw = dict(platforms=tuple(platforms)) if platforms else {}
+    return {
+        "translate": jexport.export(jax.jit(translate), **kw)(x_spec, c_spec),
+        "translate_u8": jexport.export(jax.jit(translate_u8), **kw)(
+            xu8_spec, jax.ShapeDtypeStruct((b, ncls), jnp.float32)),
+    }
+
+
+def save_artifact(path: str, exports: Dict[str, jexport.Exported],
+                  extra: Optional[dict] = None) -> str:
+    """Write an artifact directory: one ``<name>.stablehlo`` per export plus
+    ``manifest.json`` (shapes, dtypes, versions — enough for a consumer to
+    validate compatibility before deserializing)."""
+    os.makedirs(path, exist_ok=True)
+    manifest = {
+        "format": "weather_unet_tpu.export/1",
+        "jax_version": jax.__version__,
+        "modules": {},
+    }
+    if extra:
+        manifest.update(extra)
+    for name, exp in exports.items():
+        blob = exp.serialize()
+        with open(os.path.join(path, name + _MODULE_SUFFIX), "wb") as f:
+            f.write(blob)
+        manifest["modules"][name] = {
+            "bytes": len(blob),
+            "platforms": list(exp.platforms),
+            "calling_convention_version": exp.calling_convention_version,
+            "in_avals": [str(a) for a in exp.in_avals],
+            "out_avals": [str(a) for a in exp.out_avals],
+        }
+    tmp = os.path.join(path, "manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
+    return path
+
+
+def load_manifest(path: str) -> dict:
+    with open(os.path.join(path, "manifest.json")) as f:
+        return json.load(f)
+
+
+def load_artifact(path: str, names: Optional[Sequence[str]] = None) -> dict:
+    """Deserialize an artifact directory into jitted callables.
+
+    Returns ``{name: callable}``; each callable is ``Exported.call`` under
+    ``jax.jit`` — the module is compiled for the *current* backend on first
+    dispatch (shape-polymorphic modules compile once per concrete shape,
+    like any jit).  Raises ``FileNotFoundError``/``ValueError`` on a missing
+    or malformed artifact rather than guessing.
+    """
+    manifest = load_manifest(path)
+    if not str(manifest.get("format", "")).startswith(
+            "weather_unet_tpu.export/"):
+        raise ValueError(f"{path}: not a weather_unet_tpu export artifact "
+                         f"(manifest format={manifest.get('format')!r})")
+    out = {}
+    for name in (names or manifest["modules"].keys()):
+        fp = os.path.join(path, name + _MODULE_SUFFIX)
+        with open(fp, "rb") as f:
+            exp = jexport.deserialize(f.read())
+        out[name] = jax.jit(exp.call)
+    return out
