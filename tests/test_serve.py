@@ -272,3 +272,62 @@ def test_http_server_end_to_end(cp_path, rng):
     finally:
         server.shutdown()
         thread.join(timeout=10)
+
+
+def test_serve_from_export_artifact(cp_path, rng, tmp_path):
+    """--artifact serves a frozen StableHLO export: HTTP responses match the
+    checkpoint-backed server's numerics, manifest metadata overrides CLI
+    size/class defaults, and contradictory flags are refused."""
+    from PIL import Image
+
+    from weather_unet_tpu.cli.common import load_transfer
+    from weather_unet_tpu.core.export import export_transfer, save_artifact
+
+    model, variables = load_transfer(cp_path)
+    art = str(tmp_path / "art")
+    save_artifact(art, export_transfer(model, variables, size=32),
+                  extra={"input_size": 32, "num_classes": 5})
+
+    # flags whose value was baked in at export time must be rejected
+    for bad in (["--bf16"], ["--aot_cache", str(tmp_path / "aot")]):
+        with pytest.raises(SystemExit):
+            build_server(build_parser().parse_args(
+                ["--artifact", art, "--no-warmup"] + bad))
+    with pytest.raises(SystemExit):  # exactly one model source
+        build_server(build_parser().parse_args(
+            ["--cp_path", cp_path, "--artifact", art]))
+
+    args = build_parser().parse_args([
+        "--artifact", art, "--host", "127.0.0.1", "--port", "0",
+        "--max_batch", "2", "--input_size", "999"])  # manifest wins over 999
+    server = build_server(args)
+    assert args.input_size == 32
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        u8 = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(u8).save(buf, "JPEG")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/translate?class=sunny",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            got = np.asarray(Image.open(io.BytesIO(r.read())))
+        # same request through the live model (identical decode + resize):
+        # JPEG re-encode at the response boundary is the only lossy step,
+        # so compare against the re-encoded live result
+        from weather_unet_tpu.api import WeatherTransfer
+        from weather_unet_tpu.cli.serve import _decode_resize
+
+        x = _decode_resize(buf.getvalue(), 32)[None]
+        want8 = np.asarray(WeatherTransfer.load(cp_path).translate_u8(
+            x, np.eye(5, dtype=np.float32)[:1]))[0]
+        wbuf = io.BytesIO()
+        Image.fromarray(want8).save(wbuf, "JPEG", quality=95)
+        want = np.asarray(Image.open(wbuf))
+        assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
+    finally:
+        server.shutdown()
+        thread.join(timeout=10)

@@ -19,6 +19,8 @@ transform drives (torchvision ``Resize`` on PIL inputs), so serving
 preprocessing matches the reference's eval path.
 
 Usage: python -m weather_unet_tpu.cli.serve --cp_path cp.pt --port 8000
+       python -m weather_unet_tpu.cli.serve --artifact art/ --port 8000
+                                   (frozen StableHLO export, core/export.py)
 """
 
 from __future__ import annotations
@@ -310,18 +312,43 @@ def build_server(args) -> ThreadingHTTPServer:
 
     from weather_unet_tpu.api import WeatherTransfer
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    plan = None
-    tp = max(args.tensor_parallel, 1)
-    if args.data_parallel or tp > 1:
-        from weather_unet_tpu.parallel.mesh import make_mesh
+    if bool(args.cp_path) == bool(args.artifact):
+        raise SystemExit("pass exactly one of --cp_path or --artifact")
+    if args.artifact:
+        # frozen deployment snapshot: dtype/mesh/AOT choices were made at
+        # export time and live inside the module — flags that would contradict
+        # the artifact are rejected rather than silently ignored
+        for flag, name in ((args.bf16, "--bf16"),
+                           (args.data_parallel, "--data_parallel"),
+                           (args.tensor_parallel > 1, "--tensor_parallel"),
+                           (args.aot_cache, "--aot_cache")):
+            if flag:
+                raise SystemExit(f"{name} does not apply to --artifact "
+                                 "serving (baked in at export time)")
+        from weather_unet_tpu.core.export import ExportedTransfer
 
-        # params replicated once, batches over 'data'; with --tensor_parallel
-        # the 'model' axis channel-shards the conv weights (parallel/tp.py)
-        plan = make_mesh(model=tp)
-    wt = WeatherTransfer.load(args.cp_path, num_classes=args.num_classes,
-                              dtype=dtype, plan=plan, tensor_parallel=tp > 1,
-                              aot_cache=args.aot_cache)
+        wt = ExportedTransfer(args.artifact)
+        # manifest metadata wins over CLI defaults; a deliberate override
+        # of a recorded value is a misconfiguration, not a preference
+        if wt.num_classes:
+            args.num_classes = wt.num_classes
+        if wt.input_size:
+            args.input_size = wt.input_size
+    else:
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        plan = None
+        tp = max(args.tensor_parallel, 1)
+        if args.data_parallel or tp > 1:
+            from weather_unet_tpu.parallel.mesh import make_mesh
+
+            # params replicated once, batches over 'data'; with
+            # --tensor_parallel the 'model' axis channel-shards the conv
+            # weights (parallel/tp.py)
+            plan = make_mesh(model=tp)
+        wt = WeatherTransfer.load(args.cp_path, num_classes=args.num_classes,
+                                  dtype=dtype, plan=plan,
+                                  tensor_parallel=tp > 1,
+                                  aot_cache=args.aot_cache)
     batcher = Batcher(wt, max_batch=args.max_batch,
                       batch_wait_ms=args.batch_wait_ms)
     if args.warmup:
@@ -353,7 +380,12 @@ def build_server(args) -> ThreadingHTTPServer:
 
 def build_parser():
     p = argparse.ArgumentParser(description="cUNet weather-transfer HTTP server")
-    p.add_argument("--cp_path", type=str, required=True)
+    p.add_argument("--cp_path", type=str, default=None,
+                   help="checkpoint to serve (msgpack or reference .pt)")
+    p.add_argument("--artifact", type=str, default=None,
+                   help="serve a frozen StableHLO export artifact directory "
+                        "(wut-export-serving) instead of a checkpoint — no "
+                        "model code or weights on the serving host")
     p.add_argument("--host", type=str, default="0.0.0.0")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--num_classes", type=int, default=5)

@@ -36,6 +36,7 @@ import json
 import os
 from typing import Dict, Optional, Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import export as jexport
@@ -146,3 +147,53 @@ def load_artifact(path: str, names: Optional[Sequence[str]] = None) -> dict:
             exp = jexport.deserialize(f.read())
         out[name] = jax.jit(exp.call)
     return out
+
+
+class ExportedTransfer:
+    """Serving facade over an artifact: the ``api.WeatherTransfer`` subset
+    the HTTP server needs (``translate`` / ``translate_u8`` with
+    power-of-two batch bucketing), backed by a StableHLO artifact instead of
+    model code + a checkpoint.  ``wut-serve --artifact DIR`` serves a frozen
+    deployment snapshot this way — the serving host never imports the model
+    and cannot drift from the exported numerics.
+
+    Requires a symbolic-batch artifact (the export default): bucketing
+    dispatches many batch sizes through the one module.  A pinned-batch
+    artifact is refused up front instead of failing on the first off-size
+    group.
+    """
+
+    def __init__(self, path: str):
+        self.manifest = load_manifest(path)
+        mods = load_artifact(path, names=("translate", "translate_u8"))
+        self._translate = mods["translate"]
+        self._translate_u8 = mods["translate_u8"]
+        self.num_classes = self.manifest.get("num_classes")
+        self.input_size = self.manifest.get("input_size")
+        self.aot = None  # executables come from the module, not an AOT cache
+        lead = (self.manifest["modules"]["translate"]["in_avals"][0]
+                .split("[", 1)[1].split(",", 1)[0])
+        if lead.isdigit():
+            raise ValueError(
+                f"{path}: artifact has a pinned batch dimension ({lead}); "
+                "serving needs the symbolic-batch export (omit --batch in "
+                "wut-export-serving)")
+
+    @staticmethod
+    def _bucketed(fn, x, c, bucket):
+        b = np.shape(x)[0]
+        nb = 1 << max(b - 1, 0).bit_length()
+        if not bucket or b == 0 or nb == b:
+            return fn(jnp.asarray(x), jnp.asarray(c))
+        # numpy padding on host: one H2D with the dispatch (api.py rationale)
+        pad = lambda a: np.concatenate(  # noqa: E731
+            [np.asarray(a), np.zeros((nb - b,) + np.shape(a)[1:],
+                                     np.asarray(a).dtype)])
+        return fn(jnp.asarray(pad(x)), jnp.asarray(pad(c)))[:b]
+
+    def translate(self, images, conditions, *, bucket: bool = True):
+        return self._bucketed(self._translate, images, conditions, bucket)
+
+    def translate_u8(self, images_u8, conditions, *, bucket: bool = True):
+        return self._bucketed(self._translate_u8, images_u8,
+                              np.asarray(conditions, np.float32), bucket)
