@@ -17,13 +17,20 @@ def build_parser():
     p.add_argument("--gpu", type=str, default="0", help="parity flag; ignored")
     p.add_argument("--save_dir", type=str, default="cp/transfer")
     p.add_argument("--log_dir", type=str, default="runs")
-    p.add_argument("--pkl_path", type=str, required=True)
+    p.add_argument("--pkl_path", type=str, default=None,
+                   help="dataframe / split pickle (required unless --image_only)")
     p.add_argument("--estimator_path", type=str, required=True,
                    help="frozen classifier .pt / msgpack")
     p.add_argument("--dataset", type=str, default="flicker", choices=["flicker", "i2w"])
     p.add_argument("--supervised", action="store_true")
     p.add_argument("--cross_ent", action="store_true")
-    p.add_argument("--one_hot", action="store_true")
+    p.add_argument("--one_hot", action="store_true",
+                   help="parity flag; evaluation labels are ALWAYS one-hotted "
+                        "here.  Both datasets yield int class ids for the "
+                        "cached test batches, and the reference's non-one_hot "
+                        "branch crashes on them (t_cls_train.py:330-337: "
+                        "torch.cat over 0-d int labels), so there is no "
+                        "working non-one_hot behavior to reproduce")
     p.add_argument("--input_size", type=int, default=224)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--lmda", type=float, default=None)
@@ -33,7 +40,11 @@ def build_parser():
     p.add_argument("--GD_train_ratio", type=int, default=1)
     p.add_argument("--sampler", action="store_true")
     p.add_argument("--augmentation", action="store_true")
-    p.add_argument("--image_only", action="store_true")
+    p.add_argument("--image_only", action="store_true",
+                   help="train from a raw image directory (no pkl), 70/30 "
+                        "split, conditions entirely from the frozen "
+                        "classifier; skips evaluation like the reference "
+                        "(t_cls_train.py:119,138-144,441)")
     p.add_argument("--export_torch", action="store_true")
     p.add_argument("--nan_guard", action="store_true",
                    help="on non-finite metrics, roll back to the newest "
@@ -56,6 +67,20 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.image_only:
+        # a bare directory has no labels: supervised conditions
+        # (t_cls_train.py:421 one-hots dataset class ids) and the imbalance
+        # sampler (needs per-item classes) are impossible — the reference
+        # would crash later (its image_only branch never sets num_classes,
+        # t_cls_train.py:110-116); refuse up front instead
+        if args.supervised:
+            raise SystemExit("--image_only has no dataset labels; "
+                             "--supervised requires them")
+        if args.sampler:
+            raise SystemExit("--image_only has no class labels for the "
+                             "imbalance sampler; drop --sampler")
+    elif args.pkl_path is None:
+        raise SystemExit("--pkl_path is required unless --image_only")
     from weather_unet_tpu.parallel.launch import maybe_initialize
 
     multiproc = maybe_initialize()   # multi-host: must run before backend init
@@ -78,8 +103,11 @@ def main(argv=None):
         num_classes=5, lr=args.lr, input_size=args.input_size,
         batch_size=args.batch_size, gd_train_ratio=args.GD_train_ratio,
         mode="cls", supervised=args.supervised, cross_ent=args.cross_ent,
-        dataset=args.dataset, lmda=args.lmda, num_epoch=args.num_epoch,
-        dtype=dt)
+        # image_only has no dataset labels: cross_ent targets must come from
+        # the classifier's argmax (the 'flicker' semi-supervised branch of
+        # the step, train/gan.py) rather than from c_r
+        dataset="flicker" if args.image_only else args.dataset,
+        lmda=args.lmda, num_epoch=args.num_epoch, dtype=dt)
 
     # raw logits; gan step softmaxes
     est_apply = load_estimator(args.estimator_path, dtype=dt)
@@ -95,7 +123,18 @@ def main(argv=None):
                       contrast=0.3 if args.augmentation else 0.0,
                       saturation=0.3 if args.augmentation else 0.0)
     base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
-    if args.dataset == "i2w":
+    if args.image_only:
+        # raw directory, 70/30 split; conditions come entirely from the
+        # frozen classifier and evaluation is skipped
+        # (t_cls_train.py:119,138-144,441)
+        from weather_unet_tpu.cli.common import list_images
+        from weather_unet_tpu.data.datasets import ImagePathDataset
+
+        paths = list_images(args.image_root)
+        pivot = int(len(paths) * 0.7)
+        train_set = ImagePathDataset(paths[:pivot], out_size=base, transform=aug)
+        test_set = None
+    elif args.dataset == "i2w":
         sep = pd.read_pickle(args.pkl_path)  # {'train': paths, 'test': paths}
         mk = lambda split: ClassImageDataset(sep[split], out_size=base,
                                              transform=aug)
@@ -127,7 +166,7 @@ def main(argv=None):
                            process_shard=True)
 
     test_batches = None
-    if len(test_set) >= 2 * args.batch_size:
+    if test_set is not None and len(test_set) >= 2 * args.batch_size:
         it = iter(BatchLoader(test_set, batch_size=args.batch_size, shuffle=True,
                               num_workers=args.num_workers))
         tb = []
@@ -149,8 +188,10 @@ def main(argv=None):
         export_torch=args.export_torch, nan_guard=args.nan_guard,
         aot_cache=args.aot_cache, plan=plan,
         tensor_parallel=args.tensor_parallel > 1)
+    # image_only batches are (img, True) with no class ids (labeled=False);
+    # the step then runs fully semi-supervised (conditions = classifier softmax)
     trainer.fit(train_loader, random_loader, test_batches=test_batches,
-                labeled=True)
+                labeled=not args.image_only)
 
 
 if __name__ == "__main__":
