@@ -170,3 +170,122 @@ def test_inception_fc_head_roundtrip(rng):
                         "batch_stats": back["batch_stats"]},
                        jnp.zeros((2, 299, 299, 3)))
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out), atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def inception_stock():
+    """Stock-torchvision variant with the 1000-way ImageNet head — the
+    reference Inception Score's network (eval/inception_score.py:29,64)."""
+    model = InceptionV3FID(tf_variant=False, with_logits=True, num_logits=1000)
+    variables = model.init(jax.random.key(1), jnp.zeros((1, 299, 299, 3)))
+    return model, variables
+
+
+def test_inception_stock_variant_matches_torch_mirror(inception_stock, rng):
+    """tf_variant=False forward (count_include_pad pools, Mixed_7c avg,
+    1000-way fc) vs the torch mirror of stock torchvision inception_v3."""
+    from weather_unet_tpu.compat.torch_io import inception_to_torch
+    from tests import torch_mirror
+
+    model, variables = inception_stock
+    x = rng.uniform(0, 1, (2, 128, 128, 3)).astype(np.float32)
+    ours = np.asarray(model.apply(variables, jnp.asarray(x)))
+    assert ours.shape == (2, 1000)
+    sd = inception_to_torch(variables)
+    theirs = torch_mirror.inception_fid_forward(
+        x, sd, tf_variant=False, logits=True)
+    np.testing.assert_allclose(ours, theirs, atol=2e-3, rtol=1e-3)
+
+    # the variant flag must actually change the graph; assert at module level
+    # (a full random-init net collapses to near-constant maps by Mixed_7c,
+    # hiding pool differences in the logits)
+    from weather_unet_tpu.models.inception_fid import InceptionA, InceptionE
+
+    xa = jnp.asarray(rng.standard_normal((1, 17, 17, 192)).astype(np.float32))
+    mod_tf = InceptionA(32, tf_variant=True)
+    va = mod_tf.init(jax.random.key(2), xa)
+    out_tf = mod_tf.apply(va, xa)
+    out_stock = InceptionA(32, tf_variant=False).apply(va, xa)
+    assert np.abs(np.asarray(out_tf) - np.asarray(out_stock)).max() > 1e-4
+
+    xe = jnp.asarray(rng.standard_normal((1, 8, 8, 1280)).astype(np.float32))
+    mod_max = InceptionE("max")
+    ve = mod_max.init(jax.random.key(3), xe)
+    out_max = mod_max.apply(ve, xe)
+    out_avg = InceptionE("avg", tf_variant=False).apply(ve, xe)
+    assert np.abs(np.asarray(out_max) - np.asarray(out_avg)).max() > 1e-4
+
+
+def test_inception_from_torch_skips_auxlogits(inception_stock):
+    """torchvision checkpoints carry a train-only AuxLogits tower; the
+    importer must drop it (eval-mode torchvision ignores it too)."""
+    from weather_unet_tpu.compat.torch_io import (
+        inception_from_torch, inception_to_torch)
+
+    _, variables = inception_stock
+    sd = inception_to_torch(variables)
+    sd["AuxLogits.conv0.conv.weight"] = np.zeros((128, 768, 1, 1), np.float32)
+    sd["AuxLogits.fc.weight"] = np.zeros((1000, 768), np.float32)
+    back = inception_from_torch(sd)
+    assert "AuxLogits" not in back["params"]
+    assert "AuxLogits" not in back["batch_stats"]
+
+
+def test_inception_score_cli_random_weights_policy(tmp_path):
+    """IS CLI refuses random weights without --allow-random-weights,
+    symmetric with FID (evaluation/fid.py)."""
+    from weather_unet_tpu.cli import inception_score as is_cli
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    from PIL import Image
+    Image.fromarray(np.zeros((32, 32, 3), np.uint8)).save(d / "a.jpg")
+    with pytest.raises(SystemExit, match="random weights"):
+        is_cli.main(["--image_dir", str(d)])
+
+
+def test_inception_score_cli_torchvision_weights(inception_stock, tmp_path,
+                                                 rng, capsys):
+    """End-to-end: a torchvision-layout 1000-way .pth scores the
+    reference-comparable metric and matches the torch-mirror IS on the
+    same fixture images (VERDICT r3 missing #3)."""
+    import torch
+    from PIL import Image
+    from weather_unet_tpu.cli import inception_score as is_cli
+    from weather_unet_tpu.compat.torch_io import inception_to_torch
+    from weather_unet_tpu.evaluation.fid import _image_batches
+    from weather_unet_tpu.evaluation.inception_score import (
+        inception_score_from_probs)
+    from tests import torch_mirror
+
+    _, variables = inception_stock
+    sd = inception_to_torch(variables)
+    # a real torchvision checkpoint also ships the AuxLogits tower
+    sd["AuxLogits.fc.weight"] = np.zeros((1000, 768), np.float32)
+    cp = tmp_path / "inception_v3.pth"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, cp)
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(6):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 48, 3)).astype(np.uint8)).save(
+                d / f"{i}.jpg")
+
+    mean, std = is_cli.main([
+        "--image_dir", str(d), "--weights", str(cp),
+        "--input_size", "64", "--batch_size", "3", "--splits", "2"])
+    out = capsys.readouterr().out
+    assert "reference-comparable" in out
+    assert np.isfinite(mean) and np.isfinite(std)
+
+    # torch-mirror IS on the identical pipeline
+    files = sorted(str(p) for p in d.glob("*.jpg"))
+    probs = []
+    for batch in _image_batches(files, 3, size=64):
+        logits = torch_mirror.inception_fid_forward(
+            batch, sd, tf_variant=False, logits=True)
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        probs.append(e / e.sum(axis=1, keepdims=True))
+    m2, s2 = inception_score_from_probs(np.concatenate(probs), splits=2)
+    np.testing.assert_allclose(mean, m2, rtol=1e-3)

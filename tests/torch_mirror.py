@@ -338,18 +338,18 @@ def _bconv(x, sd, prefix, stride=1, padding=0):
     return F.relu(x)
 
 
-def _avg3(x):
-    # FID patch: count_include_pad=False
-    return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+def _avg3(x, tf=True):
+    # FID patch: count_include_pad=False; stock torchvision: True
+    return F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=not tf)
 
 
-def _mix_a(x, sd, p):
+def _mix_a(x, sd, p, tf=True):
     b1 = _bconv(x, sd, f"{p}.branch1x1")
     b5 = _bconv(_bconv(x, sd, f"{p}.branch5x5_1"), sd, f"{p}.branch5x5_2", padding=2)
     bd = _bconv(_bconv(_bconv(x, sd, f"{p}.branch3x3dbl_1"), sd,
                        f"{p}.branch3x3dbl_2", padding=1), sd,
                 f"{p}.branch3x3dbl_3", padding=1)
-    bp = _bconv(_avg3(x), sd, f"{p}.branch_pool")
+    bp = _bconv(_avg3(x, tf), sd, f"{p}.branch_pool")
     return torch.cat([b1, b5, bd, bp], 1)
 
 
@@ -361,7 +361,7 @@ def _mix_b(x, sd, p):
     return torch.cat([b3, bd, F.max_pool2d(x, 3, 2)], 1)
 
 
-def _mix_c(x, sd, p):
+def _mix_c(x, sd, p, tf=True):
     b1 = _bconv(x, sd, f"{p}.branch1x1")
     b7 = _bconv(x, sd, f"{p}.branch7x7_1")
     b7 = _bconv(b7, sd, f"{p}.branch7x7_2", padding=(0, 3))
@@ -371,7 +371,7 @@ def _mix_c(x, sd, p):
     bd = _bconv(bd, sd, f"{p}.branch7x7dbl_3", padding=(0, 3))
     bd = _bconv(bd, sd, f"{p}.branch7x7dbl_4", padding=(3, 0))
     bd = _bconv(bd, sd, f"{p}.branch7x7dbl_5", padding=(0, 3))
-    bp = _bconv(_avg3(x), sd, f"{p}.branch_pool")
+    bp = _bconv(_avg3(x, tf), sd, f"{p}.branch_pool")
     return torch.cat([b1, b7, bd, bp], 1)
 
 
@@ -384,7 +384,7 @@ def _mix_d(x, sd, p):
     return torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
 
 
-def _mix_e(x, sd, p, pool):
+def _mix_e(x, sd, p, pool, tf=True):
     b1 = _bconv(x, sd, f"{p}.branch1x1")
     b3 = _bconv(x, sd, f"{p}.branch3x3_1")
     b3 = torch.cat([_bconv(b3, sd, f"{p}.branch3x3_2a", padding=(0, 1)),
@@ -393,13 +393,20 @@ def _mix_e(x, sd, p, pool):
                 f"{p}.branch3x3dbl_2", padding=1)
     bd = torch.cat([_bconv(bd, sd, f"{p}.branch3x3dbl_3a", padding=(0, 1)),
                     _bconv(bd, sd, f"{p}.branch3x3dbl_3b", padding=(1, 0))], 1)
-    bp = _avg3(x) if pool == "avg" else F.max_pool2d(x, 3, 1, padding=1)
+    bp = _avg3(x, tf) if pool == "avg" else F.max_pool2d(x, 3, 1, padding=1)
     bp = _bconv(bp, sd, f"{p}.branch_pool")
     return torch.cat([b1, b3, bd, bp], 1)
 
 
-def inception_fid_forward(x_nhwc, sd, resize=True, normalize=True):
-    """pytorch-fid InceptionV3 pool3 features (eval/inception.py semantics)."""
+def inception_fid_forward(x_nhwc, sd, resize=True, normalize=True,
+                          tf_variant=True, logits=False):
+    """pytorch-fid InceptionV3 pool3 features (eval/inception.py semantics).
+
+    ``tf_variant=False`` mirrors *stock torchvision* ``inception_v3``
+    (transform_input=False, eval): count_include_pad avg pools everywhere and
+    an avg-pool branch in Mixed_7c — the network the reference IS uses
+    (eval/inception_score.py:29,64).  ``logits=True`` applies the fc head."""
+    tf = tf_variant
     x = nhwc_to_nchw(x_nhwc)
     with torch.no_grad():
         if resize and x.shape[2:] != (299, 299):
@@ -415,16 +422,18 @@ def inception_fid_forward(x_nhwc, sd, resize=True, normalize=True):
         x = _bconv(x, sd, "Conv2d_3b_1x1")
         x = _bconv(x, sd, "Conv2d_4a_3x3")
         x = F.max_pool2d(x, 3, 2)
-        x = _mix_a(x, sd, "Mixed_5b")
-        x = _mix_a(x, sd, "Mixed_5c")
-        x = _mix_a(x, sd, "Mixed_5d")
+        x = _mix_a(x, sd, "Mixed_5b", tf)
+        x = _mix_a(x, sd, "Mixed_5c", tf)
+        x = _mix_a(x, sd, "Mixed_5d", tf)
         x = _mix_b(x, sd, "Mixed_6a")
-        x = _mix_c(x, sd, "Mixed_6b")
-        x = _mix_c(x, sd, "Mixed_6c")
-        x = _mix_c(x, sd, "Mixed_6d")
-        x = _mix_c(x, sd, "Mixed_6e")
+        x = _mix_c(x, sd, "Mixed_6b", tf)
+        x = _mix_c(x, sd, "Mixed_6c", tf)
+        x = _mix_c(x, sd, "Mixed_6d", tf)
+        x = _mix_c(x, sd, "Mixed_6e", tf)
         x = _mix_d(x, sd, "Mixed_7a")
-        x = _mix_e(x, sd, "Mixed_7b", pool="avg")
-        x = _mix_e(x, sd, "Mixed_7c", pool="max")
+        x = _mix_e(x, sd, "Mixed_7b", pool="avg", tf=tf)
+        x = _mix_e(x, sd, "Mixed_7c", pool="max" if tf else "avg", tf=tf)
         x = x.mean(dim=[2, 3])
+        if logits:
+            x = F.linear(x, t(sd["fc.weight"]), t(sd["fc.bias"]))
     return x.numpy()

@@ -275,8 +275,12 @@ def inception_from_torch(sd) -> Dict[str, Any]:
     ``Mixed_5b.branch1x1.conv.weight`` / ``...bn.{weight,bias,running_*}``)
     → Flax variables for ``models.inception_fid.InceptionV3FID``.
 
-    The 1008-way ``fc`` head of the TF port is kept (used by the Inception
-    Score CLI); FID itself reads pool3 only.
+    The ``fc`` head is kept (used by the Inception Score CLI); FID itself
+    reads pool3 only.  Handles both checkpoint families with the same layer
+    vocabulary: the TF-ported FID weights (1008-way fc) and *stock
+    torchvision* ``inception_v3`` ImageNet weights (1000-way fc + an
+    ``AuxLogits`` tower that only exists for training and is dropped here,
+    exactly as eval-mode torchvision ignores it).
     """
     sd = _state_dict_np(sd)
     p: Dict[str, Any] = {}
@@ -290,6 +294,8 @@ def inception_from_torch(sd) -> Dict[str, Any]:
 
     for key, val in sd.items():
         parts = key.split(".")
+        if parts[0] == "AuxLogits":   # train-only tower, unused in eval
+            continue
         if parts[0] == "fc":   # TF-port 1008-way head (kept for IS)
             if parts[1] == "weight":
                 p["fc"] = p.get("fc", {})

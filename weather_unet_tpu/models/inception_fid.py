@@ -67,6 +67,7 @@ class BasicConv2d(nn.Module):
 
 class InceptionA(nn.Module):
     pool_features: int
+    tf_variant: bool = True   # False: stock torchvision (count_include_pad)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -78,7 +79,7 @@ class InceptionA(nn.Module):
         b3 = BasicConv2d(64, 1, dtype=dt, name="branch3x3dbl_1")(x, train=train)
         b3 = BasicConv2d(96, 3, padding=1, dtype=dt, name="branch3x3dbl_2")(b3, train=train)
         b3 = BasicConv2d(96, 3, padding=1, dtype=dt, name="branch3x3dbl_3")(b3, train=train)
-        bp = avg_pool_3x3_s1(x, count_include_pad=False)   # FID patch
+        bp = avg_pool_3x3_s1(x, count_include_pad=not self.tf_variant)  # FID patch
         bp = BasicConv2d(self.pool_features, 1, dtype=dt, name="branch_pool")(bp, train=train)
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
@@ -99,6 +100,7 @@ class InceptionB(nn.Module):
 
 class InceptionC(nn.Module):
     channels_7x7: int
+    tf_variant: bool = True   # False: stock torchvision (count_include_pad)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -113,7 +115,7 @@ class InceptionC(nn.Module):
         bd = BasicConv2d(c7, (1, 7), padding=(0, 3), dtype=dt, name="branch7x7dbl_3")(bd, train=train)
         bd = BasicConv2d(c7, (7, 1), padding=(3, 0), dtype=dt, name="branch7x7dbl_4")(bd, train=train)
         bd = BasicConv2d(192, (1, 7), padding=(0, 3), dtype=dt, name="branch7x7dbl_5")(bd, train=train)
-        bp = avg_pool_3x3_s1(x, count_include_pad=False)   # FID patch
+        bp = avg_pool_3x3_s1(x, count_include_pad=not self.tf_variant)  # FID patch
         bp = BasicConv2d(192, 1, dtype=dt, name="branch_pool")(bp, train=train)
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
@@ -136,6 +138,7 @@ class InceptionD(nn.Module):
 
 class InceptionE(nn.Module):
     pool_kind: str = "avg"   # 'avg' (Mixed_7b, FIDInceptionE_1) | 'max' (Mixed_7c, E_2)
+    tf_variant: bool = True   # False: stock torchvision (count_include_pad)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -154,7 +157,7 @@ class InceptionE(nn.Module):
             BasicConv2d(384, (3, 1), padding=(1, 0), dtype=dt, name="branch3x3dbl_3b")(bd, train=train),
         ], axis=-1)
         if self.pool_kind == "avg":
-            bp = avg_pool_3x3_s1(x, count_include_pad=False)
+            bp = avg_pool_3x3_s1(x, count_include_pad=not self.tf_variant)
         else:   # FIDInceptionE_2: max pool (eval/inception.py:292-310)
             bp = max_pool(x, 3, 1, 1)
         bp = BasicConv2d(192, 1, dtype=dt, name="branch_pool")(bp, train=train)
@@ -164,17 +167,26 @@ class InceptionE(nn.Module):
 class InceptionV3FID(nn.Module):
     """Pool3 (2048-d) feature extractor; ``with_logits=True`` adds the
     1008-way fc head carried by the TF-ported FID checkpoint (used for
-    Inception Score when real weights are supplied)."""
+    Inception Score when real weights are supplied).
+
+    ``tf_variant=False`` is *stock torchvision* ``inception_v3``
+    (``transform_input=False``): all pool branches use
+    ``count_include_pad=True`` average pooling, Mixed_7c pools with *avg*
+    instead of the FID patch's max, and the natural head is the 1000-way
+    ImageNet fc — the network the reference Inception Score uses
+    (``eval/inception_score.py:29,64``)."""
 
     resize_input: bool = True
     normalize_input: bool = True
     with_logits: bool = False
     num_logits: int = 1008
+    tf_variant: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         dt = self.dtype
+        tf = self.tf_variant
         if self.resize_input and (x.shape[1], x.shape[2]) != (299, 299):
             # reference uses align_corners=False here (eval/inception.py:146-150)
             x = resize_bilinear_torch(x, 299, 299, align_corners=False)
@@ -189,17 +201,18 @@ class InceptionV3FID(nn.Module):
         x = BasicConv2d(80, 1, dtype=dt, name="Conv2d_3b_1x1")(x, train=train)
         x = BasicConv2d(192, 3, dtype=dt, name="Conv2d_4a_3x3")(x, train=train)
         x = max_pool(x, 3, 2, 0)
-        x = InceptionA(32, dtype=dt, name="Mixed_5b")(x, train=train)
-        x = InceptionA(64, dtype=dt, name="Mixed_5c")(x, train=train)
-        x = InceptionA(64, dtype=dt, name="Mixed_5d")(x, train=train)
+        x = InceptionA(32, tf_variant=tf, dtype=dt, name="Mixed_5b")(x, train=train)
+        x = InceptionA(64, tf_variant=tf, dtype=dt, name="Mixed_5c")(x, train=train)
+        x = InceptionA(64, tf_variant=tf, dtype=dt, name="Mixed_5d")(x, train=train)
         x = InceptionB(dtype=dt, name="Mixed_6a")(x, train=train)
-        x = InceptionC(128, dtype=dt, name="Mixed_6b")(x, train=train)
-        x = InceptionC(160, dtype=dt, name="Mixed_6c")(x, train=train)
-        x = InceptionC(160, dtype=dt, name="Mixed_6d")(x, train=train)
-        x = InceptionC(192, dtype=dt, name="Mixed_6e")(x, train=train)
+        x = InceptionC(128, tf_variant=tf, dtype=dt, name="Mixed_6b")(x, train=train)
+        x = InceptionC(160, tf_variant=tf, dtype=dt, name="Mixed_6c")(x, train=train)
+        x = InceptionC(160, tf_variant=tf, dtype=dt, name="Mixed_6d")(x, train=train)
+        x = InceptionC(192, tf_variant=tf, dtype=dt, name="Mixed_6e")(x, train=train)
         x = InceptionD(dtype=dt, name="Mixed_7a")(x, train=train)
-        x = InceptionE("avg", dtype=dt, name="Mixed_7b")(x, train=train)
-        x = InceptionE("max", dtype=dt, name="Mixed_7c")(x, train=train)
+        x = InceptionE("avg", tf_variant=tf, dtype=dt, name="Mixed_7b")(x, train=train)
+        x = InceptionE("max" if tf else "avg", tf_variant=tf, dtype=dt,
+                       name="Mixed_7c")(x, train=train)
         feats = jnp.mean(x, axis=(1, 2))   # adaptive avg pool -> (B, 2048)
         if self.with_logits:
             from weather_unet_tpu.models.common import TorchDense
