@@ -75,6 +75,26 @@ def test_augment_matches_device_kernel(rng):
     assert d.max() <= 1.0 / 255.0 + 1e-3, d.max()
 
 
+def test_augment_extreme_affines_safe(rng):
+    """Degenerate/extreme affine matrices (interval entirely past the row,
+    near-zero derivatives, inf/nan) must produce zero-fill, never write out
+    of bounds (regression: the interior-range clamp; found by ASan fuzz)."""
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    mats = [
+        np.asarray([0.0, 0.0, 1e9, 0.0, 0.0, 1e9], np.float32),
+        np.asarray([1e-30, 0.0, -5.0, 0.0, 1e-30, -5.0], np.float32),
+        np.asarray([1e30, -1e30, 0.0, -1e30, 1e30, 0.0], np.float32),
+        np.asarray([np.inf, 0.0, np.nan, 0.0, -np.inf, 0.0], np.float32),
+        np.asarray([0.0, 0.0, 20.0, 0.0, 0.0, 20.0], np.float32),  # l>out
+    ]
+    for mat in mats:
+        out = runtime.augment_u8(img, mat, np.full(3, -1.0, np.float32), 24)
+        assert out.shape == (24, 24, 3)
+        out2 = runtime.augment_u8(img, mat, np.asarray([1.2, 0.8, 1.1],
+                                                       np.float32), 24)
+        assert out2.shape == (24, 24, 3)
+
+
 def test_augment_identity_no_jitter(rng):
     """degrees=0, no crop, no flip, out == in -> exact passthrough."""
     cfg = AugmentConfig(out_size=40, degrees=0.0, hflip=False)

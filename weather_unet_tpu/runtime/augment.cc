@@ -81,45 +81,159 @@ void MakeAffine(int in_h, int in_w, const float* u, float degrees,
   mat[5] = s * (foff * sx + cx0 - cx) + c * (cy0 - cy) + cy;
 }
 
+// One bilinear tap with per-tap zero outside the source (checked; border
+// pixels only — the interior inner loop below is branch-free).
+inline void TapChecked(const uint8_t* src, int h, int w, float sxf, float syf,
+                       float* rgb) {
+  const float x0f = std::floor(sxf), y0f = std::floor(syf);
+  const float fx = sxf - x0f, fy = syf - y0f;
+  const int x0 = static_cast<int>(x0f), y0 = static_cast<int>(y0f);
+  rgb[0] = rgb[1] = rgb[2] = 0.0f;
+  const float tw[4] = {(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy,
+                       fx * fy};
+  const int tx[4] = {x0, x0 + 1, x0, x0 + 1};
+  const int ty[4] = {y0, y0, y0 + 1, y0 + 1};
+  for (int t = 0; t < 4; ++t) {
+    if (ty[t] < 0 || ty[t] >= h || tx[t] < 0 || tx[t] >= w) continue;
+    const uint8_t* p = src + (static_cast<size_t>(ty[t]) * w + tx[t]) * 3;
+    rgb[0] += tw[t] * p[0];
+    rgb[1] += tw[t] * p[1];
+    rgb[2] += tw[t] * p[2];
+  }
+}
+
+// Largest ox interval [lo, hi) of a row where ALL four taps are in-bounds
+// (x0 in [0, w-2], y0 in [0, h-2]); coordinates are affine in ox, so the
+// valid set is the intersection of two intervals.  Conservative: endpoints
+// are re-verified and shrunk, so float rounding can never admit an
+// out-of-bounds tap into the branch-free loop.
+inline void InteriorRange(float rowx, float rowy, float dx, float dy, int h,
+                          int w, int out_size, int* lo, int* hi) {
+  double l = 0.0, r = static_cast<double>(out_size);
+  auto clip = [&](double c, double d, double vmax) {
+    // need c + d*ox in [0, vmax)
+    if (d > 1e-12 || d < -1e-12) {
+      double a = (0.0 - c) / d, b = (vmax - c) / d;
+      if (a > b) std::swap(a, b);
+      l = std::max(l, a);
+      r = std::min(r, b);
+    } else if (c < 0.0 || c >= vmax) {
+      r = l;  // whole row is border
+    }
+  };
+  clip(rowx, dx, static_cast<double>(w - 1));
+  clip(rowy, dy, static_cast<double>(h - 1));
+  // clamp into [0, out_size] BEFORE the int casts: an interval entirely
+  // past the row (l > out_size) or huge values from a tiny |d| must not
+  // reach the cast (int overflow) or the border loops (buffer overrun)
+  const double out_d = static_cast<double>(out_size);
+  int lo_i = static_cast<int>(std::min(std::ceil(std::max(l, 0.0)), out_d));
+  int hi_i = static_cast<int>(
+      std::max(std::min(std::floor(std::min(r, out_d)), out_d), 0.0));
+  if (hi_i < lo_i) hi_i = lo_i;
+  auto ok = [&](int ox) {
+    const float sx = rowx + dx * ox, sy = rowy + dy * ox;
+    const int x0 = static_cast<int>(std::floor(sx));
+    const int y0 = static_cast<int>(std::floor(sy));
+    return x0 >= 0 && x0 + 1 <= w - 1 && y0 >= 0 && y0 + 1 <= h - 1;
+  };
+  while (lo_i < hi_i && !ok(lo_i)) ++lo_i;
+  while (hi_i > lo_i && !ok(hi_i - 1)) --hi_i;
+  *lo = lo_i;
+  *hi = std::max(hi_i, lo_i);
+}
+
+inline uint8_t ClampU8(float v) {
+  return static_cast<uint8_t>(std::min(std::max(v, 0.0f), 255.0f) + 0.5f);
+}
+
 // Mirror of data/transforms.py::_affine_sample (4-tap bilinear, per-tap
 // zero outside the source) + _color_jitter (fixed brightness -> contrast ->
-// saturation order on the [0, 1] scale, ITU-R 601 luma).  Jitter factors
-// < 0 are disabled.
+// saturation order, ITU-R 601 luma).  Jitter factors < 0 are disabled; with
+// all three disabled the resample writes u8 directly (no scratch pass) —
+// the default train config (rotation/crop/flip, no color jitter).
+// Jitter math runs on the [0, 255] scale: every formula is linear, so it is
+// the [0, 1] computation scaled by 255 with the clip rescaled accordingly.
 void AugmentU8(const uint8_t* src, int h, int w, const float* mat,
                const float* jitter, int out_size, uint8_t* out,
                std::vector<float>* scratch) {
   const float fb = jitter[0], fc = jitter[1], fs = jitter[2];
-  scratch->resize(static_cast<size_t>(out_size) * out_size * 3);
-  float* buf = scratch->data();
+  const bool any_jitter = fb >= 0.0f || fc >= 0.0f || fs >= 0.0f;
+  const float dx = mat[0], dy = mat[3];
+
+  float* buf = nullptr;
+  if (any_jitter) {
+    scratch->resize(static_cast<size_t>(out_size) * out_size * 3);
+    buf = scratch->data();
+  }
 
   double gray_sum = 0.0;  // mean luma for the contrast formula
   for (int oy = 0; oy < out_size; ++oy) {
-    for (int ox = 0; ox < out_size; ++ox) {
-      const float sxf = mat[0] * ox + mat[1] * oy + mat[2];
-      const float syf = mat[3] * ox + mat[4] * oy + mat[5];
-      const float x0f = std::floor(sxf), y0f = std::floor(syf);
-      const float fx = sxf - x0f, fy = syf - y0f;
-      const int x0 = static_cast<int>(x0f), y0 = static_cast<int>(y0f);
+    const float rowx = mat[1] * oy + mat[2];
+    const float rowy = mat[4] * oy + mat[5];
+    int lo, hi;
+    InteriorRange(rowx, rowy, dx, dy, h, w, out_size, &lo, &hi);
 
-      float rgb[3] = {0.0f, 0.0f, 0.0f};
-      const float tw[4] = {(1 - fx) * (1 - fy), fx * (1 - fy), (1 - fx) * fy,
-                           fx * fy};
-      const int tx[4] = {x0, x0 + 1, x0, x0 + 1};
-      const int ty[4] = {y0, y0, y0 + 1, y0 + 1};
-      for (int t = 0; t < 4; ++t) {
-        if (ty[t] < 0 || ty[t] >= h || tx[t] < 0 || tx[t] >= w) continue;
-        const uint8_t* p = src + (static_cast<size_t>(ty[t]) * w + tx[t]) * 3;
-        rgb[0] += tw[t] * p[0];
-        rgb[1] += tw[t] * p[1];
-        rgb[2] += tw[t] * p[2];
+    uint8_t* orow = out + static_cast<size_t>(oy) * out_size * 3;
+    float* frow = buf ? buf + static_cast<size_t>(oy) * out_size * 3 : nullptr;
+
+    for (int ox = 0; ox < lo; ++ox) {  // left border (checked taps)
+      float rgb[3];
+      TapChecked(src, h, w, rowx + dx * ox, rowy + dy * ox, rgb);
+      if (frow) {
+        frow[ox * 3] = rgb[0];
+        frow[ox * 3 + 1] = rgb[1];
+        frow[ox * 3 + 2] = rgb[2];
+        gray_sum += 0.299f * rgb[0] + 0.587f * rgb[1] + 0.114f * rgb[2];
+      } else {
+        orow[ox * 3] = ClampU8(rgb[0]);
+        orow[ox * 3 + 1] = ClampU8(rgb[1]);
+        orow[ox * 3 + 2] = ClampU8(rgb[2]);
       }
-      float* o = buf + (static_cast<size_t>(oy) * out_size + ox) * 3;
-      o[0] = rgb[0] * (1.0f / 255.0f);
-      o[1] = rgb[1] * (1.0f / 255.0f);
-      o[2] = rgb[2] * (1.0f / 255.0f);
-      gray_sum += 0.299f * o[0] + 0.587f * o[1] + 0.114f * o[2];
+    }
+    // interior: all four taps in-bounds, branch-free
+    for (int ox = lo; ox < hi; ++ox) {
+      const float sxf = rowx + dx * ox;
+      const float syf = rowy + dy * ox;
+      const int x0 = static_cast<int>(sxf);  // sxf >= 0 here: cast == floor
+      const int y0 = static_cast<int>(syf);
+      const float fx = sxf - x0, fy = syf - y0;
+      const float w00 = (1 - fx) * (1 - fy), w01 = fx * (1 - fy);
+      const float w10 = (1 - fx) * fy, w11 = fx * fy;
+      const uint8_t* p0 = src + (static_cast<size_t>(y0) * w + x0) * 3;
+      const uint8_t* p1 = p0 + static_cast<size_t>(w) * 3;
+      const float r = w00 * p0[0] + w01 * p0[3] + w10 * p1[0] + w11 * p1[3];
+      const float g = w00 * p0[1] + w01 * p0[4] + w10 * p1[1] + w11 * p1[4];
+      const float b = w00 * p0[2] + w01 * p0[5] + w10 * p1[2] + w11 * p1[5];
+      if (frow) {
+        frow[ox * 3] = r;
+        frow[ox * 3 + 1] = g;
+        frow[ox * 3 + 2] = b;
+        gray_sum += 0.299f * r + 0.587f * g + 0.114f * b;
+      } else {
+        orow[ox * 3] = static_cast<uint8_t>(r + 0.5f);  // convex: in-range
+        orow[ox * 3 + 1] = static_cast<uint8_t>(g + 0.5f);
+        orow[ox * 3 + 2] = static_cast<uint8_t>(b + 0.5f);
+      }
+    }
+    for (int ox = hi; ox < out_size; ++ox) {  // right border
+      float rgb[3];
+      TapChecked(src, h, w, rowx + dx * ox, rowy + dy * ox, rgb);
+      if (frow) {
+        frow[ox * 3] = rgb[0];
+        frow[ox * 3 + 1] = rgb[1];
+        frow[ox * 3 + 2] = rgb[2];
+        gray_sum += 0.299f * rgb[0] + 0.587f * rgb[1] + 0.114f * rgb[2];
+      } else {
+        orow[ox * 3] = ClampU8(rgb[0]);
+        orow[ox * 3 + 1] = ClampU8(rgb[1]);
+        orow[ox * 3 + 2] = ClampU8(rgb[2]);
+      }
     }
   }
+  if (!any_jitter) return;
+
+  // jitter epilogue on the [0, 255] scale (gray_sum is on that scale too)
   const float gray_mean =
       static_cast<float>(gray_sum / (static_cast<double>(out_size) * out_size));
   // _color_jitter computes the contrast gray mean AFTER brightness; the
@@ -148,12 +262,9 @@ void AugmentU8(const uint8_t* src, int h, int w, const float* mat,
       g = fs * g + add;
       b = fs * b + add;
     }
-    out[i * 3] = static_cast<uint8_t>(
-        std::min(std::max(r, 0.0f), 1.0f) * 255.0f + 0.5f);
-    out[i * 3 + 1] = static_cast<uint8_t>(
-        std::min(std::max(g, 0.0f), 1.0f) * 255.0f + 0.5f);
-    out[i * 3 + 2] = static_cast<uint8_t>(
-        std::min(std::max(b, 0.0f), 1.0f) * 255.0f + 0.5f);
+    out[i * 3] = ClampU8(r);
+    out[i * 3 + 1] = ClampU8(g);
+    out[i * 3 + 2] = ClampU8(b);
   }
 }
 

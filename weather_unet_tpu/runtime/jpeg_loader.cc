@@ -40,32 +40,60 @@ void error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Bilinear resize HWC uint8 -> out_size x out_size (align_corners=false,
-// PIL-like pixel centers; decode-side resize feeds the device pipeline which
-// does the exact model-side resizing).
+// Per-axis bilinear taps (align_corners=false, PIL-like pixel centers),
+// precomputed once per resize call.
+void axis_taps(int in, int out, std::vector<int>* i0, std::vector<float>* wt) {
+  i0->resize(out);
+  wt->resize(out);
+  const float s = static_cast<float>(in) / out;
+  for (int o = 0; o < out; ++o) {
+    float f = (o + 0.5f) * s - 0.5f;
+    int a = std::max(0, std::min(in - 1, static_cast<int>(std::floor(f))));
+    (*i0)[o] = a;
+    (*wt)[o] = std::max(0.0f, std::min(1.0f, f - a));
+  }
+}
+
+// Bilinear resize HWC uint8 -> out_size x out_size.  Separable two-pass with
+// precomputed per-axis taps: the horizontal pass lerps each SOURCE row once
+// into a float strip, the vertical pass blends two strips per output row —
+// sequential access, no per-pixel coordinate math (same numerics as the
+// per-pixel 4-tap form: bilinear is separable).  Decode-side resize feeds
+// the device pipeline which does the exact model-side resizing.
 void resize_bilinear(const uint8_t* src, int h, int w, int c,
                      uint8_t* dst, int out) {
-  const float sy = static_cast<float>(h) / out;
-  const float sx = static_cast<float>(w) / out;
-  for (int oy = 0; oy < out; ++oy) {
-    float fy = (oy + 0.5f) * sy - 0.5f;
-    int y0 = std::max(0, std::min(h - 1, static_cast<int>(std::floor(fy))));
-    int y1 = std::min(h - 1, y0 + 1);
-    float wy = std::max(0.0f, std::min(1.0f, fy - y0));
+  std::vector<int> x0, y0;
+  std::vector<float> wx, wy;
+  axis_taps(w, out, &x0, &wx);
+  axis_taps(h, out, &y0, &wy);
+
+  // horizontal pass: (h, out, c) float strip
+  std::vector<float> strip(static_cast<size_t>(h) * out * c);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * w * c;
+    float* orow = strip.data() + static_cast<size_t>(y) * out * c;
     for (int ox = 0; ox < out; ++ox) {
-      float fx = (ox + 0.5f) * sx - 0.5f;
-      int x0 = std::max(0, std::min(w - 1, static_cast<int>(std::floor(fx))));
-      int x1 = std::min(w - 1, x0 + 1);
-      float wx = std::max(0.0f, std::min(1.0f, fx - x0));
+      const int a = x0[ox];
+      const int b = std::min(w - 1, a + 1);
+      const float f = wx[ox];
+      const uint8_t* pa = row + a * c;
+      const uint8_t* pb = row + b * c;
       for (int ch = 0; ch < c; ++ch) {
-        float v00 = src[(y0 * w + x0) * c + ch];
-        float v01 = src[(y0 * w + x1) * c + ch];
-        float v10 = src[(y1 * w + x0) * c + ch];
-        float v11 = src[(y1 * w + x1) * c + ch];
-        float v = v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy) +
-                  v10 * (1 - wx) * wy + v11 * wx * wy;
-        dst[(oy * out + ox) * c + ch] = static_cast<uint8_t>(v + 0.5f);
+        orow[ox * c + ch] = pa[ch] + f * (static_cast<float>(pb[ch]) - pa[ch]);
       }
+    }
+  }
+  // vertical pass
+  for (int oy = 0; oy < out; ++oy) {
+    const int a = y0[oy];
+    const int b = std::min(h - 1, a + 1);
+    const float f = wy[oy];
+    const float* ra = strip.data() + static_cast<size_t>(a) * out * c;
+    const float* rb = strip.data() + static_cast<size_t>(b) * out * c;
+    uint8_t* orow = dst + static_cast<size_t>(oy) * out * c;
+    const int n = out * c;
+    for (int i = 0; i < n; ++i) {
+      orow[i] = static_cast<uint8_t>(ra[i] + f * (rb[i] - ra[i]) + 0.5f);
     }
   }
 }
@@ -106,18 +134,17 @@ int DecodeToRgb(const char* path, int target_hint, std::vector<uint8_t>* rgb,
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
-  // DCT-domain downscale: pick the smallest scale >= 2x the target to keep
-  // the resample pass cheap while preserving quality.
+  // DCT-domain downscale: smallest M/8 scale (libjpeg-turbo SIMD scaled
+  // IDCTs, M in 1..8) whose output stays >= 2x the target - same 2x quality
+  // margin, finer steps than powers of two (640->224 now decodes at 6/8
+  // instead of full size).
   if (target_hint > 0) {
-    int full_dim = std::max(static_cast<int>(cinfo.image_width),
-                            static_cast<int>(cinfo.image_height));
-    cinfo.scale_num = 1;
-    cinfo.scale_denom = 1;
-    while (cinfo.scale_denom < 8 &&
-           full_dim / static_cast<int>(cinfo.scale_denom * 2) >=
-               2 * target_hint) {
-      cinfo.scale_denom *= 2;
-    }
+    const long full_dim = std::max<long>(cinfo.image_width,
+                                         cinfo.image_height);
+    unsigned m = 8;
+    while (m > 1 && (full_dim * (m - 1) + 7) / 8 >= 2L * target_hint) --m;
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
   }
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width;
@@ -165,15 +192,12 @@ int DecodeBytesToRgb(const uint8_t* data, size_t len, int target_hint,
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
   if (target_hint > 0) {
-    int full_dim = std::max(static_cast<int>(cinfo.image_width),
-                            static_cast<int>(cinfo.image_height));
-    cinfo.scale_num = 1;
-    cinfo.scale_denom = 1;
-    while (cinfo.scale_denom < 8 &&
-           full_dim / static_cast<int>(cinfo.scale_denom * 2) >=
-               2 * target_hint) {
-      cinfo.scale_denom *= 2;
-    }
+    const long full_dim = std::max<long>(cinfo.image_width,
+                                         cinfo.image_height);
+    unsigned m = 8;
+    while (m > 1 && (full_dim * (m - 1) + 7) / 8 >= 2L * target_hint) --m;
+    cinfo.scale_num = m;
+    cinfo.scale_denom = 8;
   }
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width;
