@@ -119,6 +119,29 @@ def test_demo_gif(world, tmp_path):
     assert len(gifs) == 4  # 16 imgs / bs 4
 
 
+def test_sh_check_wrapper(world, tmp_path):
+    """sh/check.sh (the reference's launch wrapper convention): the wrapper
+    execs the demo CLI from the repo root with flags passed through — the L7
+    launch-parity story exercised end to end (README 'Launch wrappers')."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "gifs"
+    env = dict(os.environ, WUT_CPU_DEVICES="1",
+               PATH=os.path.dirname(sys.executable) + os.pathsep
+               + os.environ.get("PATH", ""))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        ["bash", os.path.join(repo, "sh", "check.sh"),
+         "--input_dir", world["img_dir"], "--cp_path", world["cp"],
+         "--estimator_path", world["est"], "--output_dir", str(out),
+         "--input_size", "32", "--batch_size", "8", "--num_classes", "5",
+         "--num_frames", "2"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert any(f.endswith(".gif") for f in os.listdir(out))
+
+
 def test_inf_transfer_e(world, tmp_path):
     from weather_unet_tpu.cli import inf_transfer_e
 
@@ -306,6 +329,26 @@ def test_train_transfer_cls_image_only(world, tmp_path):
         "--input_size", "32", "--batch_size", "4", "--num_epoch", "1",
         "--num_workers", "2"])
     assert (tmp_path / "runs").exists()
+
+
+def test_train_transfer_est_decode_cache(world, tmp_path):
+    """--decode_cache: training through the decoded-image memmap cache — the
+    cache dir materializes and a second epoch trains without re-decoding
+    (data/cache.py; decode-once-augment-per-epoch pipeline)."""
+    from weather_unet_tpu.cli import train_transfer_est
+
+    cache = tmp_path / "dcache"
+    train_transfer_est.main([
+        "--image_root", world["img_dir"], "--pkl_path", world["pkl"],
+        "--estimator_path", world["est"], "--name", "tdc",
+        "--decode_cache", str(cache),
+        "--save_dir", str(tmp_path / "cp"), "--log_dir", str(tmp_path / "runs"),
+        "--input_size", "32", "--batch_size", "4", "--num_epoch", "2",
+        "--num_workers", "2"])
+    assert (cache / "data.npy").exists() and (cache / "index.json").exists()
+    import numpy as np
+    present = np.lib.format.open_memmap(cache / "present.npy", mode="r")
+    assert present.sum() > 0        # rows actually filled during epoch 1
 
 
 def test_train_transfer_cls_flag_validation(world, tmp_path):

@@ -1,0 +1,96 @@
+"""DecodedCache / CachedAugment: decode-once-augment-every-epoch pipeline."""
+
+import numpy as np
+import pytest
+
+from weather_unet_tpu.data.cache import CachedAugment, DecodedCache
+
+
+@pytest.fixture()
+def jpegs(tmp_path):
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(6):
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (64, 80, 3), np.uint8)).save(
+            p, quality=92)
+        paths.append(str(p))
+    return paths
+
+
+def test_cache_fills_lazily_and_hits(tmp_path, jpegs):
+    c = DecodedCache(str(tmp_path / "c"), base_size=32, paths=jpegs)
+    a = c.get(jpegs[0])
+    assert a.shape == (32, 32, 3) and a.dtype == np.uint8
+    assert (c.hits, c.misses) == (0, 1)
+    b = c.get(jpegs[0])
+    np.testing.assert_array_equal(a, b)
+    assert (c.hits, c.misses) == (1, 1)
+
+
+def test_cache_survives_reopen(tmp_path, jpegs):
+    d = str(tmp_path / "c")
+    c1 = DecodedCache(d, base_size=32, paths=jpegs)
+    first = {p: c1.get(p) for p in jpegs}
+    c2 = DecodedCache(d, base_size=32, paths=jpegs)   # fresh process emu
+    for p in jpegs:
+        np.testing.assert_array_equal(c2.get(p), first[p])
+    assert c2.misses == 0 and c2.hits == len(jpegs)
+
+
+def test_cache_invalidates_on_mtime_change(tmp_path, jpegs):
+    import os
+
+    from PIL import Image
+
+    d = str(tmp_path / "c")
+    c1 = DecodedCache(d, base_size=32, paths=jpegs)
+    c1.populate()
+    # rewrite one file with different pixels and a bumped mtime
+    Image.fromarray(np.full((64, 80, 3), 200, np.uint8)).save(jpegs[2],
+                                                              quality=92)
+    os.utime(jpegs[2], ns=(1, 10**18))
+    c2 = DecodedCache(d, base_size=32, paths=jpegs)
+    fresh = c2.get(jpegs[2])
+    assert c2.misses == 1                      # only the changed row refills
+    assert fresh.mean() > 150                  # new content, not stale pixels
+
+
+def test_cache_base_size_change_rebuilds(tmp_path, jpegs):
+    d = str(tmp_path / "c")
+    DecodedCache(d, base_size=32, paths=jpegs).populate()
+    c2 = DecodedCache(d, base_size=48, paths=jpegs)
+    assert c2.get(jpegs[0]).shape == (48, 48, 3)
+    assert c2.misses == 1
+
+
+def test_cache_unknown_path_passthrough(tmp_path, jpegs):
+    c = DecodedCache(str(tmp_path / "c"), base_size=32, paths=jpegs[:2])
+    out = c.get(jpegs[5])       # not in the cached set
+    assert out.shape == (32, 32, 3)
+    assert c.misses == 0        # passthrough is not a cache miss
+
+
+def test_cached_augment_feeds_dataset_and_loader(tmp_path, jpegs):
+    """End-to-end: ImagePathDataset + BatchLoader over the cache adapter —
+    second epoch is all cache hits; augmented output differs per epoch
+    (augment stays random) while the cached decode is identical."""
+    from weather_unet_tpu.data.datasets import ImagePathDataset
+    from weather_unet_tpu.data.pipeline import BatchLoader
+    from weather_unet_tpu.data.transforms import make_train_augment
+
+    aug = make_train_augment(24, resized_crop=True, seed=3)
+    cache = DecodedCache(str(tmp_path / "c"), base_size=32, paths=jpegs)
+    ds = ImagePathDataset(jpegs, out_size=32,
+                          transform=CachedAugment(cache, aug))
+    ld = BatchLoader(ds, batch_size=3, shuffle=False, num_workers=2)
+    e1 = [b for b in ld]
+    assert cache.misses == len(jpegs)
+    e2 = [b for b in ld]
+    assert cache.misses == len(jpegs)          # epoch 2: zero decodes
+    assert cache.hits >= len(jpegs)
+    assert e1[0][0].shape == (3, 24, 24, 3)
+    # augmentation random state advances: epochs differ
+    assert not np.array_equal(e1[0][0], e2[0][0])

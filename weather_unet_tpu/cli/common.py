@@ -105,6 +105,19 @@ def list_images(root: str) -> list:
         p for p in glob(os.path.join(root, "*")) if p.lower().endswith(exts))
 
 
+def wrap_decode_cache(aug, cache_dir, base_size: int, paths):
+    """``--decode_cache``: wrap a train augmentation so each source image is
+    decoded ONCE into a memmap and only augmented per epoch
+    (``data/cache.py`` — removes the per-epoch JPEG decode that binds the
+    input pipeline on decode-poor hosts; a GAN step consumes 2x batch
+    images).  No-op when ``cache_dir`` is falsy."""
+    if not cache_dir:
+        return aug
+    from weather_unet_tpu.data.cache import CachedAugment, DecodedCache
+
+    return CachedAugment(DecodedCache(cache_dir, base_size, paths), aug)
+
+
 def load_flickr_frame(pkl_path: str, columns: Sequence[str] = SIGNAL_COLUMNS,
                       stats_pkl: Optional[str] = None):
     """Read a dataframe pickle and z-score the signal columns against

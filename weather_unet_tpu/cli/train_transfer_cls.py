@@ -46,6 +46,11 @@ def build_parser():
                         "classifier; skips evaluation like the reference "
                         "(t_cls_train.py:119,138-144,441)")
     p.add_argument("--export_torch", action="store_true")
+    p.add_argument("--decode_cache", type=str, default=None,
+                   help="decoded-image memmap cache dir: JPEGs decode once "
+                        "(first epoch), later epochs only augment — lifts "
+                        "loader-bound training on decode-poor hosts "
+                        "(data/cache.py; bench_trainer_loop.py --real-data)")
     p.add_argument("--nan_guard", action="store_true",
                    help="on non-finite metrics, roll back to the newest "
                         "checkpoint and retry with a re-seeded RNG stream "
@@ -123,6 +128,8 @@ def main(argv=None):
                       contrast=0.3 if args.augmentation else 0.0,
                       saturation=0.3 if args.augmentation else 0.0)
     base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
+    from weather_unet_tpu.cli.common import wrap_decode_cache
+
     if args.image_only:
         # raw directory, 70/30 split; conditions come entirely from the
         # frozen classifier and evaluation is skipped
@@ -132,18 +139,26 @@ def main(argv=None):
 
         paths = list_images(args.image_root)
         pivot = int(len(paths) * 0.7)
+        aug = wrap_decode_cache(aug, args.decode_cache, base, paths[:pivot])
         train_set = ImagePathDataset(paths[:pivot], out_size=base, transform=aug)
         test_set = None
     elif args.dataset == "i2w":
         sep = pd.read_pickle(args.pkl_path)  # {'train': paths, 'test': paths}
+        aug = wrap_decode_cache(aug, args.decode_cache, base, sep["train"])
         mk = lambda split: ClassImageDataset(sep[split], out_size=base,
                                              transform=aug)
         train_set = mk("train")
         test_set = ClassImageDataset(sep["test"], out_size=args.input_size)
     else:
+        import os as _os
+
         # multi-host: identical shuffle on every process (loaders re-shard rows)
         df = pd.read_pickle(args.pkl_path).sample(
             frac=1, random_state=0 if multiproc else None)
+        aug = wrap_decode_cache(
+            aug, args.decode_cache, base,
+            [_os.path.join(args.image_root, pid + ".jpg")
+             for pid in df[df["mode"] == "train"]["photo"]])
         mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
                                           out_size=base, class_id=False,
                                           imbalance=imb, transform=aug)

@@ -42,6 +42,11 @@ def build_parser():
                    help="directory for serialized compiled step executables; "
                         "a restarted run skips the multi-minute XLA step "
                         "compile (core/aot.py)")
+    p.add_argument("--decode_cache", type=str, default=None,
+                   help="decoded-image memmap cache dir: JPEGs decode once "
+                        "(first epoch), later epochs only augment — lifts "
+                        "loader-bound training on decode-poor hosts "
+                        "(data/cache.py; bench_trainer_loop.py --real-data)")
     p.add_argument("--tensor_parallel", type=int, default=1,
                    help="channel-shard the WHOLE train state K-way over the "
                         "mesh 'model' axis (Megatron column/row split per "
@@ -90,6 +95,8 @@ def main(argv=None):
                       contrast=0.3 if args.augmentation else 0.0,
                       saturation=0.3 if args.augmentation else 0.0)
     base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
+    from weather_unet_tpu.cli.common import wrap_decode_cache
+
     if args.image_only:
         # raw directory, 70/30 split (t_est_train.py:116-121); conditions come
         # entirely from the frozen estimator
@@ -98,15 +105,22 @@ def main(argv=None):
 
         paths = list_images(args.image_root)
         pivot = int(len(paths) * 0.7)
+        aug = wrap_decode_cache(aug, args.decode_cache, base, paths[:pivot])
         train_set = ImagePathDataset(paths[:pivot], out_size=base, transform=aug)
         test_df = None
     else:
+        import os as _os
+
         df, _, _ = load_flickr_frame(args.pkl_path, stats_pkl=args.stats_pkl)
         # multi-host: every process must draw the SAME shuffle (the loaders
         # re-shard each batch by process rank), so pin the random_state there
         df = df.sample(frac=1, random_state=0 if multiproc else None)
         train_df = df[df["mode"] == "train"]
         test_df = df[df["mode"] == "test"]
+        aug = wrap_decode_cache(
+            aug, args.decode_cache, base,
+            [_os.path.join(args.image_root, pid + ".jpg")
+             for pid in train_df["photo"]])
         mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
                                           out_size=base, imbalance=imb,
                                           transform=aug)
