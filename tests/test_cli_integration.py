@@ -122,9 +122,24 @@ def test_demo_gif(world, tmp_path):
 def test_sh_check_wrapper(world, tmp_path):
     """sh/check.sh (the reference's launch wrapper convention): the wrapper
     execs the demo CLI from the repo root with flags passed through — the L7
-    launch-parity story exercised end to end (README 'Launch wrappers')."""
+    launch-parity story exercised end to end (README 'Launch wrappers').
+
+    Runs as a REAL subprocess, so it needs a full-depth ResNet-101 estimator
+    checkpoint (the in-process small-resnet patch doesn't reach it) and
+    verifies the WUT_CPU_DEVICES env contract forces the cpu platform for
+    inference CLIs too (cli/common.py import-time maybe_initialize)."""
     import subprocess
     import sys
+
+    import torch
+
+    from weather_unet_tpu.compat.torch_io import resnet_to_torch
+    from weather_unet_tpu.models.resnet import ResNet101  # unpatched
+
+    est_full = tmp_path / "est101.pt"
+    v = ResNet101(num_classes=5).init(jax.random.key(0),
+                                      jnp.zeros((1, 32, 32, 3)), train=False)
+    torch.save(resnet_to_torch(v), est_full)
 
     out = tmp_path / "gifs"
     env = dict(os.environ, WUT_CPU_DEVICES="1",
@@ -134,11 +149,12 @@ def test_sh_check_wrapper(world, tmp_path):
     r = subprocess.run(
         ["bash", os.path.join(repo, "sh", "check.sh"),
          "--input_dir", world["img_dir"], "--cp_path", world["cp"],
-         "--estimator_path", world["est"], "--output_dir", str(out),
+         "--estimator_path", str(est_full), "--output_dir", str(out),
          "--input_size", "32", "--batch_size", "8", "--num_classes", "5",
          "--num_frames", "2"],
         capture_output=True, text=True, timeout=900, env=env)
     assert r.returncode == 0, r.stderr[-2000:]
+    assert "axon" not in r.stderr        # env contract: never grabs the TPU
     assert any(f.endswith(".gif") for f in os.listdir(out))
 
 

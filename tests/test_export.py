@@ -58,9 +58,11 @@ def test_export_manifest_and_validation(tiny_model, tmp_path):
     man = load_manifest(art_dir)
     assert man["format"].startswith("weather_unet_tpu.export/")
     assert set(man["modules"]) == {"translate", "translate_u8"}
-    # pinned batch is recorded in the avals
-    assert "4,32,32,3" in man["modules"]["translate"]["in_avals"][0].replace(
-        " ", "")
+    # batch mode + geometry recorded EXPLICITLY from the real avals (ADVICE
+    # r3: consumers must not string-parse aval reprs)
+    meta = man["modules"]["translate"]
+    assert meta["batch"] == 4
+    assert meta["input_size"] == 32 and meta["num_classes"] == 3
 
     # a directory with a wrong-format manifest is refused, not guessed at
     bad = tmp_path / "bad"
@@ -68,6 +70,66 @@ def test_export_manifest_and_validation(tiny_model, tmp_path):
     (bad / "manifest.json").write_text(json.dumps({"format": "other/1"}))
     with pytest.raises(ValueError, match="not a weather_unet_tpu export"):
         load_artifact(str(bad))
+
+
+def test_exported_transfer_refuses_pinned_batch(tiny_model, tmp_path):
+    """ExportedTransfer needs the symbolic-batch artifact for bucketing; a
+    --batch artifact must refuse up front with the documented ValueError
+    (ADVICE r3: path was untested)."""
+    from weather_unet_tpu.core.export import ExportedTransfer
+
+    m, v = tiny_model
+    art_dir = str(tmp_path / "pinned")
+    save_artifact(art_dir, export_transfer(m, v, size=32, batch=4))
+    with pytest.raises(ValueError, match="pinned batch"):
+        ExportedTransfer(art_dir)
+
+
+def test_exported_transfer_geometry_from_module_record(tiny_model, tmp_path):
+    """Artifacts saved WITHOUT extra= still serve: geometry comes from the
+    per-module record, not optional top-level extras (ADVICE r3)."""
+    from weather_unet_tpu.core.export import ExportedTransfer
+
+    m, v = tiny_model
+    art_dir = str(tmp_path / "noextra")
+    save_artifact(art_dir, export_transfer(m, v, size=32))   # no extra=
+    et = ExportedTransfer(art_dir)
+    assert (et.input_size, et.num_classes) == (32, 3)
+
+    # legacy artifact with NEITHER module geometry nor extras: clear refusal
+    man = load_manifest(art_dir)
+    for mod in man["modules"].values():
+        for k in ("batch", "input_size", "num_classes"):
+            mod.pop(k, None)
+    import os
+    with open(os.path.join(art_dir, "manifest.json"), "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="neither per-module geometry"):
+        ExportedTransfer(art_dir)
+
+
+def test_save_artifact_rejects_reserved_extra_keys(tiny_model, tmp_path):
+    m, v = tiny_model
+    exports = export_transfer(m, v, size=32)
+    with pytest.raises(ValueError, match="reserved"):
+        save_artifact(str(tmp_path / "x"), exports,
+                      extra={"modules": {}, "note": "boom"})
+
+
+def test_load_artifact_platform_preflight(tiny_model, tmp_path):
+    """A platform-mismatched artifact is refused at load with a clear error
+    naming both sides, instead of an opaque lowering failure (ADVICE r3)."""
+    m, v = tiny_model
+    art_dir = str(tmp_path / "plat")
+    save_artifact(art_dir, export_transfer(m, v, size=32))
+    man = load_manifest(art_dir)
+    for mod in man["modules"].values():
+        mod["platforms"] = ["tpu"]          # tests run on forced-CPU jax
+    import os
+    with open(os.path.join(art_dir, "manifest.json"), "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="exported for platforms"):
+        load_artifact(art_dir)
 
 
 def test_export_cli_check(tmp_path, rng, capsys):

@@ -15,6 +15,16 @@ from weather_unet_tpu.data.datasets import SIGNAL_COLUMNS
 from weather_unet_tpu.models import ConditionalUNet, ResNet101
 from weather_unet_tpu.train import checkpoint as ckpt
 
+# Honor the WUT_* env contract (WUT_CPU_DEVICES platform forcing, multi-
+# process join) for EVERY CLI, not only the trainers: inference/eval CLIs
+# funnel through this module before their first jax computation, and the
+# axon TPU plugin ignores JAX_PLATFORMS=cpu so the config API must run
+# before backend init (parallel/launch.py). Idempotent; no-op without the
+# env vars.
+from weather_unet_tpu.parallel.launch import maybe_initialize as _maybe_init
+
+_maybe_init()
+
 
 def load_transfer(cp_path: str, num_classes: int = 5, dtype=jnp.float32,
                   fuse_upconv="auto"):

@@ -102,17 +102,30 @@ def save_artifact(path: str, exports: Dict[str, jexport.Exported],
         "modules": {},
     }
     if extra:
+        clash = set(extra) & set(manifest)
+        if clash:
+            raise ValueError(
+                f"extra manifest keys {sorted(clash)} collide with reserved "
+                "fields; pick different names")
         manifest.update(extra)
     for name, exp in exports.items():
         blob = exp.serialize()
         with open(os.path.join(path, name + _MODULE_SUFFIX), "wb") as f:
             f.write(blob)
+        # batch mode and image geometry recorded from the REAL avals here at
+        # save time — consumers must never parse aval repr strings (fragile
+        # across jax versions); in_avals stays for human inspection only
+        x_shape = exp.in_avals[0].shape
+        lead = x_shape[0]
         manifest["modules"][name] = {
             "bytes": len(blob),
             "platforms": list(exp.platforms),
             "calling_convention_version": exp.calling_convention_version,
             "in_avals": [str(a) for a in exp.in_avals],
             "out_avals": [str(a) for a in exp.out_avals],
+            "batch": int(lead) if isinstance(lead, int) else "symbolic",
+            "input_size": int(x_shape[1]),
+            "num_classes": int(exp.in_avals[1].shape[1]),
         }
     tmp = os.path.join(path, "manifest.json.tmp")
     with open(tmp, "w") as f:
@@ -140,8 +153,19 @@ def load_artifact(path: str, names: Optional[Sequence[str]] = None) -> dict:
             "weather_unet_tpu.export/"):
         raise ValueError(f"{path}: not a weather_unet_tpu export artifact "
                          f"(manifest format={manifest.get('format')!r})")
+    backend = jax.default_backend()
     out = {}
     for name in (names or manifest["modules"].keys()):
+        platforms = manifest["modules"][name].get("platforms")
+        # pre-flight: a platform-mismatched module fails deep in lowering
+        # with an opaque error; refuse with names instead. jax.export spells
+        # gpu as cuda/rocm; default_backend says "gpu".
+        if platforms and backend not in platforms and not (
+                backend == "gpu" and {"cuda", "rocm"} & set(platforms)):
+            raise ValueError(
+                f"{path}/{name}: artifact was exported for platforms "
+                f"{platforms} but this host's backend is {backend!r}; "
+                "re-export with platforms=(...) covering it")
         fp = os.path.join(path, name + _MODULE_SUFFIX)
         with open(fp, "rb") as f:
             exp = jexport.deserialize(f.read())
@@ -165,19 +189,30 @@ class ExportedTransfer:
 
     def __init__(self, path: str):
         self.manifest = load_manifest(path)
+        mod_meta = self.manifest["modules"].get("translate", {})
+        # geometry comes from the per-module record (written from the real
+        # avals at save time); top-level extra= keys are a legacy fallback.
+        # Serving without it would die per-request with an opaque shape
+        # error, so refuse up front.
+        self.num_classes = mod_meta.get("num_classes",
+                                        self.manifest.get("num_classes"))
+        self.input_size = mod_meta.get("input_size",
+                                       self.manifest.get("input_size"))
+        if self.num_classes is None or self.input_size is None:
+            raise ValueError(
+                f"{path}: manifest records neither per-module geometry nor "
+                "input_size/num_classes extras; re-export with the current "
+                "save_artifact")
+        batch = mod_meta.get("batch", "symbolic")
+        if batch != "symbolic":
+            raise ValueError(
+                f"{path}: artifact has a pinned batch dimension ({batch}); "
+                "serving needs the symbolic-batch export (omit --batch in "
+                "wut-export-serving)")
         mods = load_artifact(path, names=("translate", "translate_u8"))
         self._translate = mods["translate"]
         self._translate_u8 = mods["translate_u8"]
-        self.num_classes = self.manifest.get("num_classes")
-        self.input_size = self.manifest.get("input_size")
         self.aot = None  # executables come from the module, not an AOT cache
-        lead = (self.manifest["modules"]["translate"]["in_avals"][0]
-                .split("[", 1)[1].split(",", 1)[0])
-        if lead.isdigit():
-            raise ValueError(
-                f"{path}: artifact has a pinned batch dimension ({lead}); "
-                "serving needs the symbolic-batch export (omit --batch in "
-                "wut-export-serving)")
 
     @staticmethod
     def _bucketed(fn, x, c, bucket):
