@@ -191,3 +191,26 @@ def test_adain_scale_shift_matches_adain(rng):
     out = (x.astype(jnp.float32) * sc[:, None, None, :]
            + sh[:, None, None, :]).astype(x.dtype)
     assert float(jnp.abs(out - adain(x, y)).max()) < 1e-5
+
+
+def test_fused_bottleneck_matches_flax_eval(rng):
+    """Fused eval-mode bottleneck kernel == flax Bottleneck (running stats):
+    BN folding + the 9-tap in-VMEM 3x3 + residual/relu epilogue, on
+    non-trivial random stats (kernels/bottleneck_pallas.py)."""
+    from weather_unet_tpu.kernels.bottleneck_pallas import (
+        bottleneck_eval_reference, fold_bottleneck, fused_bottleneck_eval)
+    from weather_unet_tpu.models.resnet import Bottleneck
+
+    m = Bottleneck(planes=16, stride=1, downsample=False)
+    x = jnp.asarray(rng.standard_normal((2, 14, 14, 64)).astype(np.float32))
+    v = m.init(jax.random.key(0), x, train=False)
+    bs = jax.tree.map(
+        lambda a: jnp.asarray(
+            np.random.default_rng(1).uniform(0.5, 2.0, a.shape), a.dtype),
+        v["batch_stats"])
+    want = m.apply({"params": v["params"], "batch_stats": bs}, x, train=False)
+    w = fold_bottleneck(v["params"], bs)
+    ref = bottleneck_eval_reference(x, *w)
+    fused = fused_bottleneck_eval(x, *w, interpret=True)
+    assert float(jnp.abs(want - ref).max()) < 1e-5
+    assert float(jnp.abs(ref - fused).max()) < 1e-5
