@@ -79,6 +79,30 @@ def main():
     bytes_min = 2 * B * H * H * C * 2
     results["min_traffic_ms_819GBs"] = round(bytes_min / 819e9 * 1e3, 3)
 
+    # ---- e2e: full frozen ResNet-101 eval forward (the GAN step's 4x
+    # per-step workload and the serving estimator), XLA vs fused-identity
+    from weather_unet_tpu.kernels.bottleneck_pallas import fused_resnet_eval
+    from weather_unet_tpu.models.resnet import ResNet101
+
+    net = ResNet101(num_classes=5, dtype=jnp.bfloat16)
+    xin = jnp.asarray(rng.standard_normal((B, 224, 224, 3)).astype(
+        np.float32)).astype(jnp.bfloat16)
+    nv = net.init(jax.random.key(1), xin[:1], train=False)
+    nbs = jax.tree.map(
+        lambda a: jnp.asarray(rng.uniform(0.5, 2.0, a.shape), a.dtype),
+        nv["batch_stats"])
+    nv = {"params": nv["params"], "batch_stats": nbs}
+
+    xla_net = jax.jit(lambda x: net.apply(nv, x, train=False))
+    fused_net = jax.jit(fused_resnet_eval(nv))
+    a = np.asarray(xla_net(xin), np.float32)
+    b = np.asarray(fused_net(xin), np.float32)
+    results["e2e_parity_mae"] = float(np.abs(a - b).mean())
+    results["e2e_xla_ms"] = round(_time(xla_net, xin, reps=10) * 1e3, 2)
+    results["e2e_fused_ms"] = round(_time(fused_net, xin, reps=10) * 1e3, 2)
+    results["e2e_speedup"] = round(
+        results["e2e_xla_ms"] / results["e2e_fused_ms"], 3)
+
     print(json.dumps(results), flush=True)
 
 

@@ -77,9 +77,16 @@ def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, out_ref,
             acc += jnp.dot(win, w2_ref[ky * 3 + kx],
                            preferred_element_type=jnp.float32)
     t2 = jnp.maximum(acc + b2_ref[:], 0.0).astype(x.dtype)
-    y = jnp.dot(t2, w3_ref[:], preferred_element_type=jnp.float32)
-    y = y + b3_ref[:] + xm.astype(jnp.float32)          # residual
-    out_ref[0] = jnp.maximum(y, 0.0).astype(x.dtype).reshape(H, W, C)
+    # final projection chunked over output channels: keeps the f32 (HW, C)
+    # expansion out of VMEM at once (whole-image 56^2x256 tiles sit ~1.4 MB
+    # over the 16 MB scoped-vmem stack otherwise)
+    CH = 128 if C % 128 == 0 else C
+    for co in range(0, C, CH):
+        y = jnp.dot(t2, w3_ref[:, co:co + CH],
+                    preferred_element_type=jnp.float32)
+        y = y + b3_ref[0, co:co + CH] + xm[:, co:co + CH].astype(jnp.float32)
+        out_ref[0, :, :, co:co + CH] = jnp.maximum(y, 0.0).astype(
+            x.dtype).reshape(H, W, CH)
 
 
 def fused_bottleneck_eval(x, w1, b1, w2, b2, w3, b3, *,
@@ -112,6 +119,8 @@ def fused_bottleneck_eval(x, w1, b1, w2, b2, w3, b3, *,
                                memory_space=ms),
         out_shape=jax.ShapeDtypeStruct((B, H, W, C), dt),
         interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * H * W * (C * P + 9 * P * P + P * C),
             bytes_accessed=2 * B * H * W * C * x.dtype.itemsize,
@@ -119,6 +128,76 @@ def fused_bottleneck_eval(x, w1, b1, w2, b2, w3, b3, *,
     )(x.astype(dt), w1.astype(dt), b1.reshape(1, P).astype(f32),
       w2.astype(dt), b2.reshape(1, P).astype(f32), w3.astype(dt),
       b3.reshape(1, C).astype(f32))
+
+
+def _folded_conv(x, kernel, s, t, *, stride=1, padding=0, relu=True):
+    """conv (HWIO) with eval-BN folded into a per-channel scale/bias."""
+    k = kernel * s.astype(kernel.dtype)
+    pad = ((padding, padding), (padding, padding))
+    y = jax.lax.conv_general_dilated(
+        x, k.astype(x.dtype), (stride, stride), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32) + t
+    return (jax.nn.relu(y) if relu else y).astype(x.dtype)
+
+
+def _bottleneck_xla(x, params, stats, *, stride, downsample, eps=1e-5):
+    """Folded-BN eval bottleneck on plain XLA (stride/projection blocks)."""
+    s1, t1 = fold_bn(params["bn1"], stats["bn1"], eps)
+    s2, t2 = fold_bn(params["bn2"], stats["bn2"], eps)
+    s3, t3 = fold_bn(params["bn3"], stats["bn3"], eps)
+    idn = x
+    out = _folded_conv(x, params["conv1"]["kernel"], s1, t1)
+    out = _folded_conv(out, params["conv2"]["kernel"], s2, t2,
+                       stride=stride, padding=1)
+    out = _folded_conv(out, params["conv3"]["kernel"], s3, t3, relu=False)
+    if downsample:
+        sd, td = fold_bn(params["downsample_bn"], stats["downsample_bn"], eps)
+        idn = _folded_conv(x, params["downsample_conv"]["kernel"], sd, td,
+                           stride=stride, relu=False)
+    return jax.nn.relu(out.astype(jnp.float32)
+                       + idn.astype(jnp.float32)).astype(x.dtype)
+
+
+def fused_resnet_eval(variables, *, block_counts=(3, 4, 23, 3),
+                      fuse_layers=(1, 2, 3, 4), interpret: bool = False):
+    """Frozen (eval-mode) torchvision-style ResNet forward with every
+    identity bottleneck running the fused Pallas kernel and the
+    stride/projection blocks + stem/head on folded XLA ops.
+
+    Mirrors ``models/resnet.py::ResNet.__call__`` exactly (running-stats BN
+    throughout — the configuration the GAN step uses for its four frozen
+    ResNet-101 forwards and the serving estimator).  Returns
+    ``apply(images) -> logits``; parity vs ``model.apply(train=False)`` is
+    pinned in tests.
+    """
+    from weather_unet_tpu.ops.convs import max_pool
+
+    p, bs = variables["params"], variables["batch_stats"]
+
+    def apply(x):
+        s, t = fold_bn(p["bn1"], bs["bn1"])
+        x = _folded_conv(x, p["conv1"]["kernel"], s, t, stride=2, padding=3)
+        x = max_pool(x, window=3, stride=2, padding=1)
+        for li, n_blocks in enumerate(block_counts):
+            for bi in range(n_blocks):
+                name = f"layer{li + 1}_{bi}"
+                bp, bst = p[name], bs[name]
+                if bi == 0:
+                    x = _bottleneck_xla(x, bp, bst,
+                                        stride=1 if li == 0 else 2,
+                                        downsample=True)
+                elif li + 1 in fuse_layers:
+                    w = fold_bottleneck(bp, bst)
+                    w = [a.astype(x.dtype) if a.ndim > 1 else a for a in w]
+                    x = fused_bottleneck_eval(x, *w, interpret=interpret)
+                else:
+                    x = _bottleneck_xla(x, bp, bst, stride=1,
+                                        downsample=False)
+        feats = jnp.mean(x, axis=(1, 2))        # model head dtype semantics
+        return feats @ p["fc"]["kernel"].astype(x.dtype) + p["fc"]["bias"]
+
+    return apply
 
 
 def bottleneck_eval_reference(x, w1, b1, w2, b2, w3, b3):
