@@ -21,7 +21,9 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compile cache (CPU executables DO serialize, unlike TPU ones):
 # the suite's expensive compiles — sharded GAN steps, parity graphs — are
-# reused across runs.  Only >=5 s compiles are cached (core/profiling.py).
+# reused across runs.  Tests lower the persistence threshold to 1 s (default
+# 5 s) so the many tiny-shape step compiles also load from disk on warm runs.
+os.environ.setdefault("WUT_CACHE_MIN_COMPILE_SECS", "1")
 from weather_unet_tpu.core.profiling import enable_compilation_cache
 
 enable_compilation_cache()

@@ -180,6 +180,10 @@ def enable_compilation_cache(path: str = XLA_CACHE_DIR):
         if first_time:
             _prune_stale_cache(root, keep=fp)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        # tests set WUT_CACHE_MIN_COMPILE_SECS=1 so the many ~1-5 s tiny-shape
+        # step compiles persist too — warm suite runs load them from disk
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ.get("WUT_CACHE_MIN_COMPILE_SECS", "5")))
     except Exception as e:  # cache is an optimization, never fatal
         print(f"compilation cache disabled: {e}")
