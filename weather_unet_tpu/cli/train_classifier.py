@@ -28,6 +28,10 @@ def build_parser():
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--augmentation", action="store_true")
     p.add_argument("--pre_trained", action="store_true")
+    p.add_argument("--decode_cache", type=str, default=None,
+                   help="decoded-image memmap cache dir: JPEGs decode once "
+                        "(first epoch), later epochs only augment "
+                        "(data/cache.py)")
     p.add_argument("--aot_cache", type=str, default=None,
                    help="directory for serialized compiled step "
                         "executables (core/aot.py)")
@@ -67,6 +71,9 @@ def main(argv=None):
                       brightness=0.5 if args.augmentation else 0.0,
                       contrast=0.3 if args.augmentation else 0.0,
                       saturation=0.3 if args.augmentation else 0.0)
+    from weather_unet_tpu.cli.common import wrap_decode_cache
+
+    aug = wrap_decode_cache(aug, args.decode_cache, base, sep["train"])
     train_set = ClassImageDataset(sep["train"], out_size=base, transform=aug)
     test_set = ClassImageDataset(sep["test"], out_size=args.input_size)
 

@@ -29,6 +29,10 @@ def build_parser():
     p.add_argument("--multi", action="store_true",
                    help="parity flag; data-parallel over the mesh is always on")
     p.add_argument("--augmentation", action="store_true")
+    p.add_argument("--decode_cache", type=str, default=None,
+                   help="decoded-image memmap cache dir: JPEGs decode once "
+                        "(first epoch), later epochs only augment "
+                        "(data/cache.py)")
     p.add_argument("--aot_cache", type=str, default=None,
                    help="directory for serialized compiled step "
                         "executables (core/aot.py)")
@@ -75,14 +79,22 @@ def main(argv=None):
         raise NotImplementedError(args.mode)
 
     base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
+    import os as _os
+
+    from weather_unet_tpu.cli.common import wrap_decode_cache
+
+    aug = wrap_decode_cache(
+        make_train_augment(args.input_size,
+                           resized_crop=args.augmentation,
+                           brightness=0.5 if args.augmentation else 0.0,
+                           contrast=0.3 if args.augmentation else 0.0,
+                           saturation=0.3 if args.augmentation else 0.0),
+        args.decode_cache, base,
+        [_os.path.join(args.image_root, pid + ".jpg")
+         for pid in sep["train"]["photo"]])
     train_set = FlickrDataset(args.image_root, sep["train"], SIGNAL_COLUMNS,
                               out_size=base, class_id=None, imbalance=True,
-                              transform=make_train_augment(
-                                  args.input_size,
-                                  resized_crop=args.augmentation,
-                                  brightness=0.5 if args.augmentation else 0.0,
-                                  contrast=0.3 if args.augmentation else 0.0,
-                                  saturation=0.3 if args.augmentation else 0.0))
+                              transform=aug)
     test_set = FlickrDataset(args.image_root, sep["test"], SIGNAL_COLUMNS,
                              out_size=args.input_size)
 
