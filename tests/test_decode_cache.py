@@ -40,6 +40,62 @@ def test_cache_survives_reopen(tmp_path, jpegs):
     assert c2.misses == 0 and c2.hits == len(jpegs)
 
 
+def test_cache_survives_reopen_in_shuffled_order(tmp_path, jpegs):
+    """Row assignment is order-insensitive: the training CLIs shuffle path
+    order every run, so a reopen with a permuted list (the restart/resume
+    case) must keep every decoded row, not re-decode the corpus."""
+    d = str(tmp_path / "c")
+    c1 = DecodedCache(d, base_size=32, paths=jpegs)
+    first = {p: c1.get(p) for p in jpegs}
+    shuffled = [jpegs[i] for i in (4, 1, 5, 0, 3, 2)]
+    c2 = DecodedCache(d, base_size=32, paths=shuffled)
+    for p in shuffled:
+        np.testing.assert_array_equal(c2.get(p), first[p])
+    assert c2.misses == 0 and c2.hits == len(jpegs)
+
+
+def test_cache_subset_reopen_keeps_rows(tmp_path, jpegs):
+    d = str(tmp_path / "c")
+    DecodedCache(d, base_size=32, paths=jpegs).populate()
+    c2 = DecodedCache(d, base_size=32, paths=jpegs[2:5])
+    for p in jpegs[2:5]:
+        c2.get(p)
+    assert c2.misses == 0 and c2.hits == 3
+    # ...and the untouched rows are still there for a later full reopen
+    c3 = DecodedCache(d, base_size=32, paths=jpegs)
+    c3.populate()
+    assert c3.misses == 0
+
+
+def test_cache_corpus_growth_rebuilds(tmp_path, jpegs):
+    from PIL import Image
+
+    d = str(tmp_path / "c")
+    DecodedCache(d, base_size=32, paths=jpegs[:3]).populate()
+    extra = str(tmp_path / "extra.jpg")
+    Image.fromarray(np.zeros((64, 80, 3), np.uint8)).save(extra, quality=92)
+    c2 = DecodedCache(d, base_size=32, paths=jpegs + [extra])
+    c2.populate()                       # grew past capacity: full refill
+    assert c2.misses == len(jpegs) + 1
+    assert c2.get(extra).shape == (32, 32, 3)
+
+
+def test_cache_missing_present_file_rebuilds_flags(tmp_path, jpegs):
+    """A partial copy of a cache dir (index + data, no present.npy) must
+    reopen with all-stale flags and refill lazily, not crash."""
+    import os
+
+    d = str(tmp_path / "c")
+    c1 = DecodedCache(d, base_size=32, paths=jpegs)
+    first = {p: c1.get(p) for p in jpegs}
+    del c1
+    os.remove(os.path.join(d, "present.npy"))
+    c2 = DecodedCache(d, base_size=32, paths=jpegs)
+    for p in jpegs:
+        np.testing.assert_array_equal(c2.get(p), first[p])
+    assert c2.misses == len(jpegs)      # flags lost → rows refill once
+
+
 def test_cache_invalidates_on_mtime_change(tmp_path, jpegs):
     import os
 

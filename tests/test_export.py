@@ -84,6 +84,20 @@ def test_exported_transfer_refuses_pinned_batch(tiny_model, tmp_path):
     with pytest.raises(ValueError, match="pinned batch"):
         ExportedTransfer(art_dir)
 
+    # LEGACY pinned artifact: manifest predates the "batch" field. The
+    # refusal must fall back to the recorded aval reprs, not default the
+    # missing key to symbolic and die per-request instead.
+    import os
+
+    man = load_manifest(art_dir)
+    for mod in man["modules"].values():
+        mod.pop("batch")
+        assert mod["in_avals"][0].split("[", 1)[1].startswith("4,")
+    with open(os.path.join(art_dir, "manifest.json"), "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="pinned batch"):
+        ExportedTransfer(art_dir)
+
 
 def test_exported_transfer_geometry_from_module_record(tiny_model, tmp_path):
     """Artifacts saved WITHOUT extra= still serve: geometry comes from the

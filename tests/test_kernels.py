@@ -214,3 +214,32 @@ def test_fused_bottleneck_matches_flax_eval(rng):
     fused = fused_bottleneck_eval(x, *w, interpret=True)
     assert float(jnp.abs(want - ref).max()) < 1e-5
     assert float(jnp.abs(ref - fused).max()) < 1e-5
+
+
+def test_fused_resnet_eval_full_forward_parity(rng):
+    """fused_resnet_eval == ResNet.apply(train=False) on a whole tiny net:
+    pins the stem/downsample/stride wiring, fuse_layers selection, fc head
+    dtype semantics, AND the fused identity-block path (interpret mode) —
+    not just the single-block kernel."""
+    from weather_unet_tpu.kernels.bottleneck_pallas import fused_resnet_eval
+    from weather_unet_tpu.models import ResNet
+
+    counts = (2, 1, 1, 1)               # layer1 has one fused identity block
+    model = ResNet(block_counts=counts, num_classes=7)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    v = model.init(jax.random.key(0), x[:1], train=False)
+    # non-trivial running stats so BN folding is actually exercised
+    v = dict(v, batch_stats=jax.tree.map(
+        lambda a: jnp.asarray(
+            np.random.default_rng(1).uniform(0.5, 2.0, a.shape), a.dtype),
+        v["batch_stats"]))
+    want = np.asarray(model.apply(v, x, train=False))
+
+    got = fused_resnet_eval(v, block_counts=counts, fuse_layers=(1,),
+                            interpret=True)(x)
+    assert got.dtype == jnp.float32 and got.shape == (2, 7)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+    # pure folded-XLA composition (no pallas) must also match
+    got_xla = fused_resnet_eval(v, block_counts=counts, fuse_layers=())(x)
+    np.testing.assert_allclose(np.asarray(got_xla), want, atol=2e-4)

@@ -56,7 +56,8 @@ def main(argv=None):
 
     from weather_unet_tpu.core.optim import torch_adam
     from weather_unet_tpu.core.state import TrainState
-    from weather_unet_tpu.data.datasets import FlickrDataset, SIGNAL_COLUMNS, zscore_columns
+    from weather_unet_tpu.data.datasets import (
+        FlickrDataset, SIGNAL_COLUMNS, flickr_image_path, zscore_columns)
     from weather_unet_tpu.data.pipeline import BatchLoader
     from weather_unet_tpu.data.sampler import ImbalancedSampler
     from weather_unet_tpu.data.transforms import make_train_augment
@@ -79,8 +80,6 @@ def main(argv=None):
         raise NotImplementedError(args.mode)
 
     base = args.input_size if not args.augmentation else int(args.input_size * 1.15)
-    import os as _os
-
     from weather_unet_tpu.cli.common import wrap_decode_cache
 
     aug = wrap_decode_cache(
@@ -90,7 +89,7 @@ def main(argv=None):
                            contrast=0.3 if args.augmentation else 0.0,
                            saturation=0.3 if args.augmentation else 0.0),
         args.decode_cache, base,
-        [_os.path.join(args.image_root, pid + ".jpg")
+        [flickr_image_path(args.image_root, pid)
          for pid in sep["train"]["photo"]])
     train_set = FlickrDataset(args.image_root, sep["train"], SIGNAL_COLUMNS,
                               out_size=base, class_id=None, imbalance=True,

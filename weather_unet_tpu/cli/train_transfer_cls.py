@@ -96,7 +96,7 @@ def main(argv=None):
 
     from weather_unet_tpu.cli.common import load_estimator
     from weather_unet_tpu.data.datasets import (
-        ClassImageDataset, FlickrDataset, SIGNAL_COLUMNS)
+        ClassImageDataset, FlickrDataset, SIGNAL_COLUMNS, flickr_image_path)
     from weather_unet_tpu.data.pipeline import BatchLoader
     from weather_unet_tpu.data.sampler import ImbalancedSampler
     from weather_unet_tpu.data.transforms import normalize_batch
@@ -150,14 +150,12 @@ def main(argv=None):
         train_set = mk("train")
         test_set = ClassImageDataset(sep["test"], out_size=args.input_size)
     else:
-        import os as _os
-
         # multi-host: identical shuffle on every process (loaders re-shard rows)
         df = pd.read_pickle(args.pkl_path).sample(
             frac=1, random_state=0 if multiproc else None)
         aug = wrap_decode_cache(
             aug, args.decode_cache, base,
-            [_os.path.join(args.image_root, pid + ".jpg")
+            [flickr_image_path(args.image_root, pid)
              for pid in df[df["mode"] == "train"]["photo"]])
         mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
                                           out_size=base, class_id=False,

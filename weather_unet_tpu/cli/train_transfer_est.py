@@ -70,7 +70,8 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from weather_unet_tpu.cli.common import load_estimator, load_flickr_frame
-    from weather_unet_tpu.data.datasets import FlickrDataset, SIGNAL_COLUMNS
+    from weather_unet_tpu.data.datasets import (
+        FlickrDataset, SIGNAL_COLUMNS, flickr_image_path)
     from weather_unet_tpu.data.pipeline import BatchLoader
     from weather_unet_tpu.data.sampler import ImbalancedSampler
     from weather_unet_tpu.data.transforms import normalize_batch
@@ -109,8 +110,6 @@ def main(argv=None):
         train_set = ImagePathDataset(paths[:pivot], out_size=base, transform=aug)
         test_df = None
     else:
-        import os as _os
-
         df, _, _ = load_flickr_frame(args.pkl_path, stats_pkl=args.stats_pkl)
         # multi-host: every process must draw the SAME shuffle (the loaders
         # re-shard each batch by process rank), so pin the random_state there
@@ -119,7 +118,7 @@ def main(argv=None):
         test_df = df[df["mode"] == "test"]
         aug = wrap_decode_cache(
             aug, args.decode_cache, base,
-            [_os.path.join(args.image_root, pid + ".jpg")
+            [flickr_image_path(args.image_root, pid)
              for pid in train_df["photo"]])
         mk = lambda d, imb: FlickrDataset(args.image_root, d, SIGNAL_COLUMNS,
                                           out_size=base, imbalance=imb,

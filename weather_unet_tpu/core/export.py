@@ -203,7 +203,14 @@ class ExportedTransfer:
                 f"{path}: manifest records neither per-module geometry nor "
                 "input_size/num_classes extras; re-export with the current "
                 "save_artifact")
-        batch = mod_meta.get("batch", "symbolic")
+        batch = mod_meta.get("batch")
+        if batch is None:
+            # legacy artifact (manifest predates the "batch" field): detect
+            # a pinned batch from the recorded aval repr — written by the
+            # same old code, so the format is known ("f32[4,224,224,3]")
+            avals = mod_meta.get("in_avals") or []
+            lead = avals[0].split("[", 1)[-1].split(",", 1)[0] if avals else ""
+            batch = int(lead) if lead.isdigit() else "symbolic"
         if batch != "symbolic":
             raise ValueError(
                 f"{path}: artifact has a pinned batch dimension ({batch}); "

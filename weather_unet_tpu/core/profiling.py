@@ -168,6 +168,9 @@ def enable_compilation_cache(path: str = XLA_CACHE_DIR):
     if os.environ.get("WUT_COMPILE_CACHE", "1") == "0":
         return
     try:
+        # parse env BEFORE touching jax.config: failing after the cache dir
+        # is set would leave the cache enabled while reporting it disabled
+        min_secs = float(os.environ.get("WUT_CACHE_MIN_COMPILE_SECS", "5"))
         root = os.path.expanduser(path)
         fp = _host_fingerprint()
         cache_dir = os.path.join(root, fp)
@@ -183,7 +186,6 @@ def enable_compilation_cache(path: str = XLA_CACHE_DIR):
         # tests set WUT_CACHE_MIN_COMPILE_SECS=1 so the many ~1-5 s tiny-shape
         # step compiles persist too — warm suite runs load them from disk
         jax.config.update(
-            "jax_persistent_cache_min_compile_time_secs",
-            float(os.environ.get("WUT_CACHE_MIN_COMPILE_SECS", "5")))
+            "jax_persistent_cache_min_compile_time_secs", min_secs)
     except Exception as e:  # cache is an optimization, never fatal
         print(f"compilation cache disabled: {e}")

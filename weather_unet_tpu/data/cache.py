@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import json
 import os
-import threading
 from typing import Optional, Sequence
 
 import numpy as np
@@ -46,48 +45,113 @@ class DecodedCache:
         self.dir = os.path.expanduser(cache_dir)
         self.base = int(base_size)
         os.makedirs(self.dir, exist_ok=True)
-        self._lock = threading.Lock()
         self._index_path = os.path.join(self.dir, "index.json")
         self._data_path = os.path.join(self.dir, "data.npy")
         self._present_path = os.path.join(self.dir, "present.npy")
 
         paths = [os.path.abspath(p) for p in dict.fromkeys(paths)]
         old = self._load_index()
-        entries = {}
-        reusable = (old is not None and old.get("base_size") == self.base
-                    and os.path.exists(self._data_path))
-        old_entries = old["entries"] if reusable else {}
-        for row, p in enumerate(paths):
+        capacity = self._data_capacity()
+        old_entries = (old["entries"]
+                       if old is not None and capacity > 0
+                       and old.get("base_size") == self.base else {})
+
+        # Row assignment is ORDER-INSENSITIVE: a path already in the index
+        # keeps its old row, new paths take free rows.  The training CLIs
+        # shuffle path order every run, so a positional (row == list index)
+        # match would zero the whole cache on every restart/resume.
+        rows = self._assign_rows(paths, old_entries, capacity)
+        reuse = rows is not None
+        if not reuse:                   # no reusable file, or corpus outgrew it
+            capacity, rows = len(paths), {p: i for i, p in enumerate(paths)}
+            old_entries = {}
+        self._rows = rows
+
+        entries, stale_rows = {}, []
+        for p in paths:
             st = self._stat(p)
             prev = old_entries.get(p)
-            fresh = (reusable and prev is not None and prev["row"] == row
+            fresh = (prev is not None and prev["row"] == rows[p]
                      and prev["mtime"] == st[0] and prev["size"] == st[1])
-            entries[p] = {"row": row, "mtime": st[0], "size": st[1],
-                          "_fresh": fresh}
-        self._rows = {p: e["row"] for p, e in entries.items()}
+            if not fresh:
+                stale_rows.append(rows[p])
+            entries[p] = {"row": rows[p], "mtime": st[0], "size": st[1]}
 
-        shape = (len(paths), self.base, self.base, 3)
-        mode = "r+" if (reusable and self._shape_matches(shape)) else "w+"
+        # Carry forward old entries whose rows weren't reassigned, so a run
+        # over a SUBSET of the corpus (e.g. a debug slice) doesn't evict the
+        # rest of the cache.  Carried paths aren't served this run (not in
+        # self._rows) — a future reopen that includes them re-stats and
+        # reuses their rows.
+        assigned = set(rows.values())
+        for p, e in old_entries.items():
+            r = e.get("row")
+            if (p not in entries and isinstance(r, int) and 0 <= r < capacity
+                    and r not in assigned):
+                entries[p] = {"row": r, "mtime": e["mtime"], "size": e["size"]}
+                assigned.add(r)
+
+        # _data_capacity already verified dtype/base dims, so reuse implies
+        # the existing file's shape is exactly (capacity, base, base, 3).
+        shape = (capacity, self.base, self.base, 3)
         self.data = np.lib.format.open_memmap(
-            self._data_path, mode=mode, dtype=np.uint8, shape=shape)
-        if mode == "w+":
-            self.present = np.lib.format.open_memmap(
-                self._present_path, mode="w+", dtype=np.uint8,
-                shape=(len(paths),))
-            self.present[:] = 0
-        else:
-            self.present = np.lib.format.open_memmap(self._present_path,
-                                                     mode="r+")
-            for p, e in entries.items():   # invalidate stale/moved rows
-                if not e.pop("_fresh"):
-                    self.present[e["row"]] = 0
-        for e in entries.values():
-            e.pop("_fresh", None)
+            self._data_path, mode="r+" if reuse else "w+", dtype=np.uint8,
+            shape=shape)
+        self.present = self._open_present(capacity, fresh_ok=reuse)
+        for r in stale_rows:            # invalidate stale/new rows
+            self.present[r] = 0
         with open(self._index_path + ".tmp", "w") as f:
             json.dump({"base_size": self.base, "entries": entries}, f)
         os.replace(self._index_path + ".tmp", self._index_path)
         self.hits = 0
         self.misses = 0
+
+    @staticmethod
+    def _assign_rows(paths, old_entries, capacity):
+        """Map each path to a data row, reusing the old index's assignments.
+
+        Returns ``None`` when the existing file cannot host the new corpus
+        (no file, duplicate/out-of-range rows in a corrupt index, or more
+        new paths than free rows) — the caller then rebuilds from scratch.
+        """
+        if capacity <= 0:
+            return None
+        kept = {p: old_entries[p]["row"] for p in paths
+                if p in old_entries and 0 <= old_entries[p]["row"] < capacity}
+        used = set(kept.values())
+        if len(used) != len(kept):      # corrupt index: duplicate rows
+            return None
+        # New paths take rows no old entry references first, then rows of
+        # entries dropped from the corpus (preserves as much cache as
+        # possible across subset/superset reopens).
+        referenced = {e["row"] for e in old_entries.values()}
+        free = iter(sorted(set(range(capacity)) - used,
+                           key=lambda r: (r in referenced, r)))
+        rows = dict(kept)
+        try:
+            for p in paths:
+                if p not in rows:
+                    rows[p] = next(free)
+        except StopIteration:
+            return None                 # corpus grew past file capacity
+        return rows
+
+    def _open_present(self, n: int, fresh_ok: bool):
+        """Open (or rebuild) the row-filled flag vector.
+
+        A missing/truncated ``present.npy`` next to a valid data file (e.g.
+        a partial copy of a cache dir) must rebuild the flags — refilling
+        lazily — not crash the constructor."""
+        if fresh_ok:
+            try:
+                m = np.lib.format.open_memmap(self._present_path, mode="r+")
+                if m.shape == (n,) and m.dtype == np.uint8:
+                    return m
+            except Exception:
+                pass
+        m = np.lib.format.open_memmap(self._present_path, mode="w+",
+                                      dtype=np.uint8, shape=(n,))
+        m[:] = 0
+        return m
 
     def _stat(self, p):
         try:
@@ -103,12 +167,15 @@ class DecodedCache:
         except Exception:
             return None
 
-    def _shape_matches(self, shape) -> bool:
+    def _data_capacity(self) -> int:
+        """Rows in the existing data file, 0 if absent/incompatible."""
         try:
-            return np.lib.format.open_memmap(self._data_path,
-                                             mode="r").shape == shape
+            m = np.lib.format.open_memmap(self._data_path, mode="r")
+            if m.dtype == np.uint8 and m.shape[1:] == (self.base, self.base, 3):
+                return m.shape[0]
         except Exception:
-            return False
+            pass
+        return 0
 
     def _decode(self, path: str) -> np.ndarray:
         from weather_unet_tpu import runtime

@@ -88,6 +88,16 @@ def _load(path: str, out_size: Optional[int], transform) -> np.ndarray:
     return image
 
 
+def flickr_image_path(image_root: str, photo_id) -> str:
+    """Path of one Flickr photo id under ``image_root``.
+
+    Single definition of the ``<root>/<photo>.jpg`` scheme — the decode-cache
+    CLIs build their path lists with this, so they can never drift from what
+    :class:`FlickrDataset` actually loads (a drifted list would silently
+    degrade every lookup to a passthrough decode)."""
+    return os.path.join(image_root, str(photo_id) + ".jpg")
+
+
 class FlickrDataset:
     """Flickr weather-DB dataset (``dataset.py:27-79``).
 
@@ -122,7 +132,7 @@ class FlickrDataset:
     def __getitem__(self, idx: int):
         for attempt in range(_MAX_BAD_FILES):
             i = (idx + attempt) % len(self)
-            path = os.path.join(self.root, self.photo_ids[i] + ".jpg")
+            path = flickr_image_path(self.root, self.photo_ids[i])
             try:
                 image = _load(path, self.out_size, self.transform)
                 break
@@ -213,7 +223,7 @@ class OneYearWeatherSignals:
         self.s_times = sdf["s_unixtime"].to_numpy()
         self.conditions = sdf.loc[:, self.columns].fillna(0).to_numpy(np.float32)
 
-        self.image = _decode(os.path.join(image_root, photo_id + ".jpg"), out_size)
+        self.image = _decode(flickr_image_path(image_root, photo_id), out_size)
 
     def __len__(self):
         return len(self.conditions)

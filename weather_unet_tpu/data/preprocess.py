@@ -71,9 +71,11 @@ def remove_gray(df, image_root: str, photo_col: str = "photo",
     import numpy as np
     from PIL import Image
 
+    from weather_unet_tpu.data import datasets
+
     keep = []
     for pid in df[photo_col]:
-        path = os.path.join(image_root, str(pid) + ".jpg")
+        path = datasets.flickr_image_path(image_root, pid)
         try:
             with Image.open(path) as im:
                 im = im.convert("RGB").resize((sample_px, sample_px))
