@@ -150,3 +150,25 @@ def test_cached_augment_feeds_dataset_and_loader(tmp_path, jpegs):
     assert e1[0][0].shape == (3, 24, 24, 3)
     # augmentation random state advances: epochs differ
     assert not np.array_equal(e1[0][0], e2[0][0])
+
+
+def test_cache_concurrent_fill_is_consistent(tmp_path, jpegs):
+    """BatchLoader runs the transform from multiple worker threads; the
+    cache's documented benign-race design (identical bytes, flag set after
+    pixels) must yield exactly the single-thread images with no torn rows."""
+    import concurrent.futures
+
+    d = str(tmp_path / "c")
+    ref = {p: DecodedCache(str(tmp_path / "ref"), base_size=32,
+                           paths=jpegs).get(p) for p in jpegs}
+    c = DecodedCache(d, base_size=32, paths=jpegs)
+    work = [p for _ in range(8) for p in jpegs]      # heavy same-row overlap
+    with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+        got = list(ex.map(c.get, work))
+    for p, img in zip(work, got):
+        np.testing.assert_array_equal(img, ref[p])
+    assert all(c.present[r] for r in c._rows.values())
+    # reopen sees fully-populated rows
+    c2 = DecodedCache(d, base_size=32, paths=jpegs)
+    c2.populate()
+    assert c2.misses == 0
