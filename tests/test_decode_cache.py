@@ -172,3 +172,37 @@ def test_cache_concurrent_fill_is_consistent(tmp_path, jpegs):
     c2 = DecodedCache(d, base_size=32, paths=jpegs)
     c2.populate()
     assert c2.misses == 0
+
+
+def test_cache_concurrent_process_construction(tmp_path, jpegs):
+    """Multi-host training constructs the same cache dir from every rank at
+    once (parallel.launch + --decode_cache).  The constructor's file lock
+    must serialize creation: no crash, no torn files, and the dir reopens
+    fully consistent afterwards."""
+    import multiprocessing as mp
+
+    d = str(tmp_path / "c")
+
+    def worker(rank, q):
+        try:
+            c = DecodedCache(d, base_size=32, paths=jpegs)
+            sums = [int(c.get(p).sum()) for p in jpegs]
+            q.put((rank, sums))
+        except Exception as e:  # pragma: no cover - failure reporting
+            q.put((rank, repr(e)))
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(r, q)) for r in range(2)]
+    for p in procs:
+        p.start()
+    results = dict(q.get(timeout=120) for _ in procs)
+    for p in procs:
+        p.join(timeout=120)
+    assert all(pr.exitcode == 0 for pr in procs)
+    assert isinstance(results[0], list) and results[0] == results[1], results
+
+    c = DecodedCache(d, base_size=32, paths=jpegs)
+    c.populate()
+    assert c.misses == 0                # everything the ranks wrote persists
+    assert [int(c.get(p).sum()) for p in jpegs] == results[0]

@@ -265,7 +265,8 @@ os.write(2, {_BENIGN_AOT_LINE!r}.encode())
 os.write(2, b"unrelated stderr line\\n")
 os.write(2, {_REAL_AOT_LINE!r}.encode())
 deadline = time.time() + 5
-while time.time() < deadline and aot_guard_stats()["suppressed"] < 1:
+while time.time() < deadline and (aot_guard_stats()["suppressed"] < 1
+                                  or aot_guard_stats()["real"] < 1):
     time.sleep(0.01)
 print("stats", aot_guard_stats())
 """

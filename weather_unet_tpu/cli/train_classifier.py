@@ -73,7 +73,10 @@ def main(argv=None):
                       saturation=0.3 if args.augmentation else 0.0)
     from weather_unet_tpu.cli.common import wrap_decode_cache
 
-    aug = wrap_decode_cache(aug, args.decode_cache, base, sep["train"])
+    from weather_unet_tpu.data.datasets import filter_i2w_paths
+
+    aug = wrap_decode_cache(aug, args.decode_cache, base,
+                            filter_i2w_paths(sep["train"]))
     train_set = ClassImageDataset(sep["train"], out_size=base, transform=aug)
     test_set = ClassImageDataset(sep["test"], out_size=args.input_size)
 

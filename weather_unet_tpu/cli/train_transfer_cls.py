@@ -144,7 +144,10 @@ def main(argv=None):
         test_set = None
     elif args.dataset == "i2w":
         sep = pd.read_pickle(args.pkl_path)  # {'train': paths, 'test': paths}
-        aug = wrap_decode_cache(aug, args.decode_cache, base, sep["train"])
+        from weather_unet_tpu.data.datasets import filter_i2w_paths
+
+        aug = wrap_decode_cache(aug, args.decode_cache, base,
+                                filter_i2w_paths(sep["train"]))
         mk = lambda split: ClassImageDataset(sep[split], out_size=base,
                                              transform=aug)
         train_set = mk("train")

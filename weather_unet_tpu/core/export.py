@@ -115,18 +115,24 @@ def save_artifact(path: str, exports: Dict[str, jexport.Exported],
         # batch mode and image geometry recorded from the REAL avals here at
         # save time — consumers must never parse aval repr strings (fragile
         # across jax versions); in_avals stays for human inspection only
-        x_shape = exp.in_avals[0].shape
-        lead = x_shape[0]
-        manifest["modules"][name] = {
+        manifest["modules"][name] = mod = {
             "bytes": len(blob),
             "platforms": list(exp.platforms),
             "calling_convention_version": exp.calling_convention_version,
             "in_avals": [str(a) for a in exp.in_avals],
             "out_avals": [str(a) for a in exp.out_avals],
-            "batch": int(lead) if isinstance(lead, int) else "symbolic",
-            "input_size": int(x_shape[1]),
-            "num_classes": int(exp.in_avals[1].shape[1]),
         }
+        # geometry fields only for (image NHWC, condition) signatures — the
+        # writer is generic, so a module with a different arity/rank simply
+        # omits them (ExportedTransfer refuses such artifacts with a clear
+        # error instead of this crashing at save time)
+        if (len(exp.in_avals) == 2 and len(exp.in_avals[0].shape) == 4
+                and len(exp.in_avals[1].shape) == 2):
+            x_shape = exp.in_avals[0].shape
+            lead = x_shape[0]
+            mod["batch"] = int(lead) if isinstance(lead, int) else "symbolic"
+            mod["input_size"] = int(x_shape[1])
+            mod["num_classes"] = int(exp.in_avals[1].shape[1])
     tmp = os.path.join(path, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

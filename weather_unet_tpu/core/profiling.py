@@ -293,6 +293,41 @@ def install_aot_loader_guard(cache_dir: str):
     atexit.register(_restore)
 
 
+def _cpu_platform_expected() -> bool:
+    """Will this process's default JAX backend be XLA:CPU?  Decided WITHOUT
+    initializing the backend (this runs before init on purpose):
+
+    * an explicit platform request (config API — the WUT entry points set it
+      — or ``JAX_PLATFORMS``) answers directly;
+    * with no explicit request, the backend is CPU exactly when no PJRT
+      accelerator plugin is installed (plugins register via the
+      ``jax_plugins`` entry-point group / namespace package — e.g. the axon
+      TPU plugin or jax-cuda); a bare CPU-only host has neither."""
+    import os
+
+    import jax
+
+    plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    if plats:
+        # priority list ("axon,cpu" = axon preferred, cpu fallback): the
+        # default backend is the FIRST entry, so only a leading "cpu"
+        # makes this a CPU process (the axon sitecustomize sets
+        # "axon,cpu" for every process on this host)
+        return plats.split(",")[0].strip() == "cpu"
+    try:
+        from importlib.metadata import entry_points
+
+        if list(entry_points(group="jax_plugins")):
+            return False
+        import jax_plugins  # namespace-package registration path
+
+        return not list(getattr(jax_plugins, "__path__", []))
+    except ImportError:
+        return True
+    except Exception:
+        return False        # unsure: leave stderr unwrapped
+
+
 def enable_compilation_cache(path: str = XLA_CACHE_DIR):
     """Persistent XLA compilation cache — first-compile times on TPU are
     minutes (CLAUDE.md); caching makes restarts/resumes near-instant.
@@ -333,10 +368,8 @@ def enable_compilation_cache(path: str = XLA_CACHE_DIR):
         # step compiles persist too — warm suite runs load them from disk
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", min_secs)
-        # the mismatch warning only exists on the CPU backend; every CPU
-        # entry point forces the platform via the config API before calling
-        # here, so this check needs no backend init
-        if "cpu" in (jax.config.jax_platforms or ""):
+        # the mismatch warning only exists on the CPU backend
+        if _cpu_platform_expected():
             install_aot_loader_guard(cache_dir)
     except Exception as e:  # cache is an optimization, never fatal
         print(f"compilation cache disabled: {e}")

@@ -49,6 +49,23 @@ class DecodedCache:
         self._data_path = os.path.join(self.dir, "data.npy")
         self._present_path = os.path.join(self.dir, "present.npy")
 
+        # Multi-host training opens the same cache dir from every rank
+        # (parallel.launch + --decode_cache).  Construction must be
+        # serialized ACROSS PROCESSES: two ranks fresh-creating data.npy
+        # concurrently would O_TRUNC a file the other already mmapped
+        # (SIGBUS) and zero its present flags.  With the lock, the second
+        # rank sees the first's completed files and takes the reuse path.
+        # Lazy row fills stay lock-free (identical-bytes benign race).
+        import fcntl
+
+        with open(os.path.join(self.dir, ".lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                self._build(paths)
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
+
+    def _build(self, paths: Sequence[str]):
         paths = [os.path.abspath(p) for p in dict.fromkeys(paths)]
         old = self._load_index()
         capacity = self._data_capacity()

@@ -176,6 +176,15 @@ class ImagePathDataset:
         return image, True
 
 
+def filter_i2w_paths(paths: Sequence[str]) -> list:
+    """Drop the reference's skipped ``z-other`` class (``dataset.py:115``).
+
+    Single definition of the rule: :class:`ClassImageDataset` applies it to
+    what it serves, and the decode-cache CLIs apply it to their path lists
+    so the cache doesn't reserve rows for images the dataset never loads."""
+    return [p for p in paths if "z-other" not in p]
+
+
 class ClassImageDataset:
     """i2w dataset: class = parent directory name, fixed class list, skips
     ``z-other`` (reference ``ClassImageLoader``, ``dataset.py:105-136``)."""
@@ -183,7 +192,7 @@ class ClassImageDataset:
     def __init__(self, paths: Sequence[str], out_size: Optional[int] = None,
                  inf: bool = False, transform=None):
         self.transform = transform
-        self.paths = [p for p in paths if "z-other" not in p]
+        self.paths = filter_i2w_paths(paths)
         self.classes = WEATHER_CLASSES_I2W
         self.num_classes = len(self.classes)
         self.out_size = out_size
