@@ -386,6 +386,46 @@ def test_train_transfer_cls_flag_validation(world, tmp_path):
     assert "t_cls_train.py:330-337" in help_text
 
 
+def test_no_silent_dead_flags_in_any_cli():
+    """Every flag any CLI parses must either be read (``args.<dest>`` in the
+    module source) or carry an explicit 'parity flag'/'ignored' annotation in
+    its help text.  Mechanical guard for the failure class VERDICT r3 flagged
+    (``--one_hot``/``--image_only`` parsed and silently unused): a reference
+    user must never get different semantics without the --help saying so."""
+    import argparse
+    import importlib
+    import inspect
+    import pkgutil
+    import re
+
+    import weather_unet_tpu.cli as cli_pkg
+
+    def walk(parser):
+        for action in parser._actions:
+            if isinstance(action, argparse._SubParsersAction):
+                for sub in action.choices.values():
+                    yield from walk(sub)
+            elif action.dest not in ("help", argparse.SUPPRESS):
+                yield action
+
+    checked, dead = 0, []
+    for info in pkgutil.iter_modules(cli_pkg.__path__):
+        mod = importlib.import_module(f"weather_unet_tpu.cli.{info.name}")
+        build = getattr(mod, "build_parser", None)
+        if build is None:
+            continue  # doctor/common build their parser inline in main()
+        src = inspect.getsource(mod)
+        for action in walk(build()):
+            checked += 1
+            help_text = (action.help or "").lower()
+            if "parity flag" in help_text or "ignored" in help_text:
+                continue
+            if not re.search(rf"args\.{re.escape(action.dest)}\b", src):
+                dead.append(f"{info.name}:--{action.dest}")
+    assert checked > 100, f"meta-test lost its subjects (saw {checked} flags)"
+    assert not dead, f"flags parsed but never read or annotated: {dead}"
+
+
 def test_doctor_cli(capsys):
     """wut-doctor: environment diagnostics (device, mesh, caches, native
     runtime) in both human and JSON form; --probe times a real dispatch."""

@@ -14,7 +14,10 @@ import pickle
 def build_parser():
     p = argparse.ArgumentParser(description="class-transfer consistency")
     p.add_argument("--gpu", type=str, default="0", help="parity flag; ignored")
-    p.add_argument("--image_root", type=str, default=None)
+    p.add_argument("--image_root", type=str, default=None,
+                   help="parity flag; ignored — the reference parses it and "
+                        "never reads it either (eval_class_transfer.py:17; "
+                        "the split pickle carries absolute paths)")
     p.add_argument("--pkl_path", type=str, required=True,
                    help="i2w split pickle (uses the 'test' list)")
     p.add_argument("--cp_path", type=str, required=True)
