@@ -138,6 +138,24 @@ def run(batch, dtype_name, n_steps=40, real_data=False, cache_dir=None,
         # decoded cache (same source images, different shuffles/augments).
         train_ld = RealLoader(paths, batch, size, seed=1, cache_dir=cache_dir)
         rand_ld = RealLoader(paths, batch, size, seed=2, cache_dir=cache_dir)
+
+        # honor --steps here too (an epoch of the default corpus is 24
+        # steps; without this cap the flag was silently ignored in
+        # real-data mode)
+        class _Limit:
+            def __init__(self, ld, n):
+                self.ld, self.n = ld, n
+
+            def __len__(self):
+                return min(len(self.ld), self.n)
+
+            def __iter__(self):
+                import itertools
+
+                return itertools.islice(iter(self.ld), self.n)
+
+        train_ld = _Limit(train_ld, n_steps)
+        rand_ld = _Limit(rand_ld, n_steps)
         if cache_dir:
             # warm epoch: fill the decode cache (first epoch pays decode,
             # exactly like a real run; we time the steady state)

@@ -23,7 +23,31 @@ from weather_unet_tpu.train import checkpoint as ckpt
 # env vars.
 from weather_unet_tpu.parallel.launch import maybe_initialize as _maybe_init
 
-_maybe_init()
+
+def _env_contract_init():
+    """Import-time env-contract hook.  A library consumer may import this
+    module AFTER initializing a backend (e.g. TPU work done, then loading a
+    checkpoint helper) while WUT_CPU_DEVICES lingers in the environment; the
+    contract can only be honored before backend init, so skip with a notice
+    instead of mutating platform config out from under a live backend."""
+    try:
+        from jax._src import xla_bridge
+
+        started = bool(xla_bridge._backends)
+    except Exception:
+        started = False
+    if started:
+        if os.environ.get("WUT_CPU_DEVICES"):
+            import sys
+
+            print("weather_unet_tpu: WUT_CPU_DEVICES ignored — the jax "
+                  "backend was already initialized before cli.common was "
+                  "imported", file=sys.stderr)
+        return
+    _maybe_init()
+
+
+_env_contract_init()
 
 
 def load_transfer(cp_path: str, num_classes: int = 5, dtype=jnp.float32,

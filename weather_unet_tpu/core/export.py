@@ -131,8 +131,12 @@ def save_artifact(path: str, exports: Dict[str, jexport.Exported],
             x_shape = exp.in_avals[0].shape
             lead = x_shape[0]
             mod["batch"] = int(lead) if isinstance(lead, int) else "symbolic"
-            mod["input_size"] = int(x_shape[1])
-            mod["num_classes"] = int(exp.in_avals[1].shape[1])
+            # H / num_classes may also be symbolic dims (e.g. an export over
+            # symbolic_shape("b,h")); record only concrete ints
+            if isinstance(x_shape[1], int):
+                mod["input_size"] = int(x_shape[1])
+            if isinstance(exp.in_avals[1].shape[1], int):
+                mod["num_classes"] = int(exp.in_avals[1].shape[1])
     tmp = os.path.join(path, "manifest.json.tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -162,6 +166,10 @@ def load_artifact(path: str, names: Optional[Sequence[str]] = None) -> dict:
     backend = jax.default_backend()
     out = {}
     for name in (names or manifest["modules"].keys()):
+        if name not in manifest["modules"]:
+            raise ValueError(
+                f"{path}: artifact has no module {name!r} (available: "
+                f"{sorted(manifest['modules'])})")
         platforms = manifest["modules"][name].get("platforms")
         # pre-flight: a platform-mismatched module fails deep in lowering
         # with an opaque error; refuse with names instead. jax.export spells

@@ -171,7 +171,8 @@ def _prune_stale_cache(root: str, keep: str):
 AOT_TUNING_PSEUDO_FEATURES = frozenset({"prefer-no-gather", "prefer-no-scatter"})
 
 _AOT_LINE = None     # compiled lazily (re import at call time)
-_guard = {"installed": False, "suppressed": 0, "real": 0, "poisoned": False}
+_guard = {"installed": False, "suppressed": 0, "real": 0, "poisoned": False,
+          "cache_dir": None}
 
 
 def classify_aot_mismatch_line(line: str) -> Optional[str]:
@@ -219,20 +220,25 @@ def install_aot_loader_guard(cache_dir: str):
     import os
     import threading
 
-    if _guard["installed"] or os.environ.get("WUT_AOT_GUARD", "1") == "0":
+    if os.environ.get("WUT_AOT_GUARD", "1") == "0":
+        return
+    # Track the CURRENT cache dir even when the stderr filter is already
+    # installed: a later enable_compilation_cache(other_dir) (the test suite
+    # re-enables with tmp roots) must poison the dir whose executable
+    # actually mismatched, not the first one this process ever used.
+    _guard["cache_dir"] = cache_dir
+    if _guard["installed"]:
         return
     real_fd = os.dup(2)
     r_fd, w_fd = os.pipe()
-    os.dup2(w_fd, 2)
-    os.close(w_fd)
-    _guard["installed"] = True
 
     def _poison(raw: bytes):
         if _guard["poisoned"]:
             return
         _guard["poisoned"] = True
         try:
-            with open(os.path.join(cache_dir, "POISONED"), "wb") as f:
+            with open(os.path.join(_guard["cache_dir"], "POISONED"),
+                      "wb") as f:
                 f.write(raw)
             os.write(real_fd,
                      b"weather_unet_tpu: REAL ISA mismatch loading a cached "
@@ -279,7 +285,21 @@ def install_aot_loader_guard(cache_dir: str):
             pass
 
     t = threading.Thread(target=_pump, daemon=True, name="wut-aot-guard")
-    t.start()
+    try:
+        t.start()
+    except Exception:
+        # cannot start the reader: leave stderr untouched (redirecting fd 2
+        # into a pipe nobody drains would block the process after ~64 KB of
+        # stderr) and let the caller's never-fatal guard report it
+        for fd in (r_fd, w_fd, real_fd):
+            try:
+                os.close(fd)
+            except OSError:
+                pass
+        raise
+    os.dup2(w_fd, 2)            # redirect only once the reader is alive
+    os.close(w_fd)
+    _guard["installed"] = True
 
     def _restore():
         # putting the real stderr back closes this process's pipe write end

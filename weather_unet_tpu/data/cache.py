@@ -110,9 +110,11 @@ class DecodedCache:
         # _data_capacity already verified dtype/base dims, so reuse implies
         # the existing file's shape is exactly (capacity, base, base, 3).
         shape = (capacity, self.base, self.base, 3)
-        self.data = np.lib.format.open_memmap(
-            self._data_path, mode="r+" if reuse else "w+", dtype=np.uint8,
-            shape=shape)
+        if reuse:
+            self.data = np.lib.format.open_memmap(
+                self._data_path, mode="r+", dtype=np.uint8, shape=shape)
+        else:
+            self.data = self._fresh_memmap(self._data_path, shape)
         self.present = self._open_present(capacity, fresh_ok=reuse)
         for r in stale_rows:            # invalidate stale/new rows
             self.present[r] = 0
@@ -121,6 +123,22 @@ class DecodedCache:
         os.replace(self._index_path + ".tmp", self._index_path)
         self.hits = 0
         self.misses = 0
+
+    @staticmethod
+    def _fresh_memmap(path: str, shape) -> np.memmap:
+        """Create a fresh uint8 memmap at ``path`` WITHOUT truncating the
+        existing inode: ``open_memmap(mode='w+')`` O_TRUNCs in place, which
+        would SIGBUS (or silently re-point rows for) a live process that
+        still has the old file mapped — e.g. a training run mid-epoch while
+        a second run rebuilds the cache for a grown corpus.  Writing to a
+        temp name and ``os.replace``-ing keeps the old inode alive for its
+        mappers; the mapping returned here stays valid across the rename
+        (same inode)."""
+        tmp = path + ".tmp"
+        m = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.uint8,
+                                      shape=shape)
+        os.replace(tmp, path)
+        return m
 
     @staticmethod
     def _assign_rows(paths, old_entries, capacity):
@@ -165,8 +183,7 @@ class DecodedCache:
                     return m
             except Exception:
                 pass
-        m = np.lib.format.open_memmap(self._present_path, mode="w+",
-                                      dtype=np.uint8, shape=(n,))
+        m = self._fresh_memmap(self._present_path, (n,))
         m[:] = 0
         return m
 
@@ -195,20 +212,12 @@ class DecodedCache:
         return 0
 
     def _decode(self, path: str) -> np.ndarray:
-        from weather_unet_tpu import runtime
+        from weather_unet_tpu.data.datasets import _decode
 
-        if runtime.native_available() and path.lower().endswith(
-                (".jpg", ".jpeg")):
-            img = runtime.decode_file(path, self.base)
-            if img is not None:
-                return img
-            raise IOError(f"native decode failed for {path}")
-        from PIL import Image
-
-        with Image.open(path) as im:
-            im = im.convert("RGB").resize((self.base, self.base),
-                                          Image.BILINEAR)
-            return np.asarray(im, dtype=np.uint8)
+        # single decode-with-fallback definition (datasets._decode);
+        # prefer_native=True because the cache fill is the decode-heavy
+        # stage and feeds training only (no PIL-parity requirement)
+        return _decode(path, self.base, prefer_native=True)
 
     def get(self, path: str) -> np.ndarray:
         """Decoded base-size uint8 HWC image; decodes and fills on miss."""

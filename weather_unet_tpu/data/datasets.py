@@ -47,16 +47,21 @@ def zscore_columns(df, columns, stats_df=None):
     return df, mean, std
 
 
-def _decode(path: str, out_size: Optional[int]) -> np.ndarray:
+def _decode(path: str, out_size: Optional[int],
+            prefer_native: Optional[bool] = None) -> np.ndarray:
     """JPEG decode + optional square resize -> uint8 HWC.
 
     Set ``WUT_NATIVE_DECODE=1`` (with the C++ runtime built,
     ``make -C weather_unet_tpu/runtime``) to decode via the native
     libjpeg loader — GIL-free, thread-scalable on multi-core hosts.  The
     native resize is plain bilinear (no PIL antialiasing), fine for training;
-    parity-sensitive eval paths keep PIL by default.
+    parity-sensitive eval paths keep PIL by default.  ``prefer_native``
+    overrides the env gate (the decode cache passes True: its fill is the
+    decode-heavy stage and feeds training only).
     """
-    if (out_size is not None and os.environ.get("WUT_NATIVE_DECODE") == "1"
+    if prefer_native is None:
+        prefer_native = os.environ.get("WUT_NATIVE_DECODE") == "1"
+    if (out_size is not None and prefer_native
             and path.lower().endswith((".jpg", ".jpeg"))):
         from weather_unet_tpu import runtime
 

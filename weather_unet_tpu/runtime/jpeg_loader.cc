@@ -98,6 +98,31 @@ void resize_bilinear(const uint8_t* src, int h, int w, int c,
   }
 }
 
+// DCT-domain downscale: smallest M/8 scale (libjpeg-turbo SIMD scaled IDCTs,
+// M in 1..8) whose output stays >= 2x the target - same 2x quality margin,
+// finer steps than powers of two (640->224 decodes at 6/8 instead of full
+// size).  Single definition for the file- and memory-source decoders.
+void set_dct_scale(jpeg_decompress_struct* cinfo, int target_hint) {
+  if (target_hint <= 0) return;
+  const long full_dim = std::max<long>(cinfo->image_width,
+                                       cinfo->image_height);
+  unsigned m = 8;
+  while (m > 1 && (full_dim * (m - 1) + 7) / 8 >= 2L * target_hint) --m;
+  cinfo->scale_num = m;
+  cinfo->scale_denom = 8;
+}
+
+// Expand a c-component (grayscale) buffer to 3-channel RGB in place.
+void expand_to_rgb(std::vector<uint8_t>* full, int w, int h, int c) {
+  if (c == 3) return;
+  std::vector<uint8_t> expanded(static_cast<size_t>(w) * h * 3);
+  for (size_t i = 0; i < static_cast<size_t>(w) * h; ++i) {
+    expanded[i * 3] = expanded[i * 3 + 1] = expanded[i * 3 + 2] =
+        (*full)[i * c];
+  }
+  full->swap(expanded);
+}
+
 int decode_one(const char* path, int out_size, uint8_t* out_rgb) {
   std::vector<uint8_t> full;
   int h = 0, w = 0;
@@ -134,18 +159,7 @@ int DecodeToRgb(const char* path, int target_hint, std::vector<uint8_t>* rgb,
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
-  // DCT-domain downscale: smallest M/8 scale (libjpeg-turbo SIMD scaled
-  // IDCTs, M in 1..8) whose output stays >= 2x the target - same 2x quality
-  // margin, finer steps than powers of two (640->224 now decodes at 6/8
-  // instead of full size).
-  if (target_hint > 0) {
-    const long full_dim = std::max<long>(cinfo.image_width,
-                                         cinfo.image_height);
-    unsigned m = 8;
-    while (m > 1 && (full_dim * (m - 1) + 7) / 8 >= 2L * target_hint) --m;
-    cinfo.scale_num = m;
-    cinfo.scale_denom = 8;
-  }
+  set_dct_scale(&cinfo, target_hint);
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width;
   const int h = cinfo.output_height;
@@ -160,13 +174,7 @@ int DecodeToRgb(const char* path, int target_hint, std::vector<uint8_t>* rgb,
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
 
-  if (c != 3) {  // expand gray to RGB
-    std::vector<uint8_t> expanded(static_cast<size_t>(w) * h * 3);
-    for (size_t i = 0; i < static_cast<size_t>(w) * h; ++i) {
-      expanded[i * 3] = expanded[i * 3 + 1] = expanded[i * 3 + 2] = full[i * c];
-    }
-    full.swap(expanded);
-  }
+  expand_to_rgb(&full, w, h, c);
   rgb->swap(full);
   *out_h = h;
   *out_w = w;
@@ -191,14 +199,7 @@ int DecodeBytesToRgb(const uint8_t* data, size_t len, int target_hint,
                static_cast<unsigned long>(len));
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
-  if (target_hint > 0) {
-    const long full_dim = std::max<long>(cinfo.image_width,
-                                         cinfo.image_height);
-    unsigned m = 8;
-    while (m > 1 && (full_dim * (m - 1) + 7) / 8 >= 2L * target_hint) --m;
-    cinfo.scale_num = m;
-    cinfo.scale_denom = 8;
-  }
+  set_dct_scale(&cinfo, target_hint);
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width;
   const int h = cinfo.output_height;
@@ -212,13 +213,7 @@ int DecodeBytesToRgb(const uint8_t* data, size_t len, int target_hint,
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
 
-  if (c != 3) {
-    std::vector<uint8_t> expanded(static_cast<size_t>(w) * h * 3);
-    for (size_t i = 0; i < static_cast<size_t>(w) * h; ++i) {
-      expanded[i * 3] = expanded[i * 3 + 1] = expanded[i * 3 + 2] = full[i * c];
-    }
-    full.swap(expanded);
-  }
+  expand_to_rgb(&full, w, h, c);
   rgb->swap(full);
   *out_h = h;
   *out_w = w;
