@@ -67,17 +67,26 @@ def test_cache_subset_reopen_keeps_rows(tmp_path, jpegs):
     assert c3.misses == 0
 
 
-def test_cache_corpus_growth_rebuilds(tmp_path, jpegs):
+def test_cache_corpus_growth_keeps_decoded_rows(tmp_path, jpegs):
+    """Growing the corpus past file capacity grows the memmaps in place:
+    already-decoded rows survive (no full re-decode when a user adds
+    images to a dataset)."""
     from PIL import Image
 
     d = str(tmp_path / "c")
-    DecodedCache(d, base_size=32, paths=jpegs[:3]).populate()
+    c1 = DecodedCache(d, base_size=32, paths=jpegs[:3])
+    first = {p: np.array(c1.get(p)) for p in jpegs[:3]}
+    old_mapping = c1.data               # live mapping across the grow
     extra = str(tmp_path / "extra.jpg")
     Image.fromarray(np.zeros((64, 80, 3), np.uint8)).save(extra, quality=92)
     c2 = DecodedCache(d, base_size=32, paths=jpegs + [extra])
-    c2.populate()                       # grew past capacity: full refill
-    assert c2.misses == len(jpegs) + 1
+    c2.populate()                       # only the NEW paths decode
+    assert c2.misses == len(jpegs) - 3 + 1
+    for p in jpegs[:3]:
+        np.testing.assert_array_equal(c2.get(p), first[p])
     assert c2.get(extra).shape == (32, 32, 3)
+    # the pre-grow mapping still reads (grow renames, never truncates)
+    assert int(np.asarray(old_mapping[0]).sum()) == int(first[jpegs[0]].sum())
 
 
 def test_cache_missing_present_file_rebuilds_flags(tmp_path, jpegs):

@@ -78,8 +78,19 @@ class DecodedCache:
         # shuffle path order every run, so a positional (row == list index)
         # match would zero the whole cache on every restart/resume.
         rows = self._assign_rows(paths, old_entries, capacity)
-        reuse = rows is not None
-        if not reuse:                   # no reusable file, or corpus outgrew it
+        grown = False
+        if rows is None and capacity > 0 and old_entries:
+            # Corpus outgrew the file (or the index is corrupt): retry the
+            # same assignment against a larger capacity.  Success means the
+            # old rows are all consistent — GROW the files instead of
+            # refilling, preserving every already-decoded row (a user adding
+            # images to a dataset shouldn't pay a full re-decode).
+            new_cap = max(len(paths), capacity)
+            rows = self._assign_rows(paths, old_entries, new_cap)
+            if rows is not None and new_cap > capacity:
+                grown, capacity = True, new_cap
+        reuse = rows is not None and not grown
+        if rows is None:                # no reusable file / corrupt index
             capacity, rows = len(paths), {p: i for i, p in enumerate(paths)}
             old_entries = {}
         self._rows = rows
@@ -113,9 +124,13 @@ class DecodedCache:
         if reuse:
             self.data = np.lib.format.open_memmap(
                 self._data_path, mode="r+", dtype=np.uint8, shape=shape)
+            self.present = self._open_present(capacity, fresh_ok=True)
+        elif grown:
+            self.data = self._grow_memmap(self._data_path, shape)
+            self.present = self._grow_memmap(self._present_path, (capacity,))
         else:
             self.data = self._fresh_memmap(self._data_path, shape)
-        self.present = self._open_present(capacity, fresh_ok=reuse)
+            self.present = self._open_present(capacity, fresh_ok=False)
         for r in stale_rows:            # invalidate stale/new rows
             self.present[r] = 0
         with open(self._index_path + ".tmp", "w") as f:
@@ -138,6 +153,25 @@ class DecodedCache:
         m = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.uint8,
                                       shape=shape)
         os.replace(tmp, path)
+        return m
+
+    @classmethod
+    def _grow_memmap(cls, path: str, shape) -> np.memmap:
+        """Replace the memmap at ``path`` with a larger one, copying the old
+        rows in as a prefix (row indices are preserved by ``_assign_rows``,
+        so a straight block copy keeps every filled row valid).  New rows
+        are zero (fresh memmap pages), i.e. not-present.  Same no-truncate
+        rename discipline as :meth:`_fresh_memmap`."""
+        old = None
+        try:
+            old = np.lib.format.open_memmap(path, mode="r")
+        except Exception:
+            pass
+        m = cls._fresh_memmap(path, shape)
+        if (old is not None and old.dtype == np.uint8
+                and old.ndim == len(shape) and old.shape[1:] == shape[1:]):
+            n = min(old.shape[0], shape[0])
+            m[:n] = old[:n]
         return m
 
     @staticmethod
