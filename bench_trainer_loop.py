@@ -154,16 +154,18 @@ def run(batch, dtype_name, n_steps=40, real_data=False, cache_dir=None,
 
                 return itertools.islice(iter(self.ld), self.n)
 
-        train_ld = _Limit(train_ld, n_steps)
-        rand_ld = _Limit(rand_ld, n_steps)
         if cache_dir:
-            # warm epoch: fill the decode cache (first epoch pays decode,
-            # exactly like a real run; we time the steady state)
+            # warm epoch: fill the decode cache over the FULL corpus (the
+            # loaders reshuffle per __iter__, so a --steps-capped warm pass
+            # would leave the timed epoch paying decode misses on whichever
+            # images the next shuffle draws)
             t_fill = time.perf_counter()
             for ld in (train_ld, rand_ld):
                 for _ in ld:
                     pass
             fill_s = time.perf_counter() - t_fill
+        train_ld = _Limit(train_ld, n_steps)
+        rand_ld = _Limit(rand_ld, n_steps)
         tr._window_t0 = None
         tr._window_steps = 0
         t0 = time.perf_counter()

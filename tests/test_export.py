@@ -118,7 +118,7 @@ def test_exported_transfer_geometry_from_module_record(tiny_model, tmp_path):
     import os
     with open(os.path.join(art_dir, "manifest.json"), "w") as f:
         json.dump(man, f)
-    with pytest.raises(ValueError, match="neither per-module geometry"):
+    with pytest.raises(ValueError, match="no input_size/num_classes"):
         ExportedTransfer(art_dir)
 
 

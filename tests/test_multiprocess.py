@@ -205,3 +205,34 @@ def test_launch_local_tears_down_peers_on_rank_failure():
     elapsed = _time.monotonic() - t0
     assert rc == 3
     assert elapsed < 30, f"peers not torn down fail-fast ({elapsed:.0f}s)"
+
+
+def test_late_import_with_multiprocess_contract_refuses(tmp_path):
+    """cli.common imported AFTER backend init with WUT_NUM_PROCESSES>1 must
+    refuse loudly: silently skipping the distributed join would leave the
+    peer ranks blocked in jax.distributed.initialize with no diagnostic on
+    the offending rank."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.numpy.zeros(1).block_until_ready()\n"   # backend init
+        "import os; os.environ['WUT_NUM_PROCESSES'] = '2'\n"
+        "os.environ['WUT_PROCESS_ID'] = '0'\n"
+        "try:\n"
+        "    import weather_unet_tpu.cli.common  # noqa: F401\n"
+        "except RuntimeError as e:\n"
+        "    assert 'already initialized' in str(e), e\n"
+        "    print('REFUSED-OK')\n"
+        "else:\n"
+        "    raise SystemExit('import succeeded; distributed join silently skipped')\n"
+    )
+    env = dict(os.environ)
+    env.pop("WUT_NUM_PROCESSES", None)
+    env.pop("WUT_CPU_DEVICES", None)
+    res = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, env=env, cwd=os.path.dirname(
+                             os.path.dirname(os.path.abspath(__file__))))
+    assert res.returncode == 0, res.stderr
+    assert "REFUSED-OK" in res.stdout

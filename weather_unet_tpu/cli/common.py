@@ -37,6 +37,16 @@ def _env_contract_init():
     except Exception:
         started = False
     if started:
+        if int(os.environ.get("WUT_NUM_PROCESSES", "1")) > 1:
+            # Silently skipping the distributed join would leave the peer
+            # ranks blocked in jax.distributed.initialize with zero
+            # diagnostic on THIS rank — refuse loudly instead.
+            raise RuntimeError(
+                "weather_unet_tpu: WUT_NUM_PROCESSES>1 but the jax backend "
+                "was already initialized before cli.common was imported; "
+                "the distributed join must run before any jax computation. "
+                "Import weather_unet_tpu.cli.common (or call "
+                "parallel.launch.maybe_initialize()) first.")
         if os.environ.get("WUT_CPU_DEVICES"):
             import sys
 

@@ -214,9 +214,11 @@ class ExportedTransfer:
                                        self.manifest.get("input_size"))
         if self.num_classes is None or self.input_size is None:
             raise ValueError(
-                f"{path}: manifest records neither per-module geometry nor "
-                "input_size/num_classes extras; re-export with the current "
-                "save_artifact")
+                f"{path}: manifest records no input_size/num_classes — "
+                "either a legacy artifact saved without extra= (re-export "
+                "with the current save_artifact) or an export with symbolic "
+                "H/class dims (serving needs concrete ones; only the batch "
+                "dim may be symbolic)")
         batch = mod_meta.get("batch")
         if batch is None:
             # legacy artifact (manifest predates the "batch" field): detect

@@ -233,12 +233,21 @@ def install_aot_loader_guard(cache_dir: str):
     r_fd, w_fd = os.pipe()
 
     def _poison(raw: bytes):
-        if _guard["poisoned"]:
+        # Latch PER DIR, not per process: after one mismatch poisons dir A,
+        # a later real mismatch against a retargeted dir B must still mark
+        # B.  (Known benign race: a line emitted for dir A's executable but
+        # classified after a retarget to B poisons B instead — the pump
+        # cannot attribute a stderr line to a dir, and the worst case is a
+        # spurious cache rebuild, never a missed real mismatch on the dir
+        # in current use.)
+        target = _guard["cache_dir"]
+        poisoned = _guard.setdefault("poisoned_dirs", set())
+        if target in poisoned:
             return
+        poisoned.add(target)
         _guard["poisoned"] = True
         try:
-            with open(os.path.join(_guard["cache_dir"], "POISONED"),
-                      "wb") as f:
+            with open(os.path.join(target, "POISONED"), "wb") as f:
                 f.write(raw)
             os.write(real_fd,
                      b"weather_unet_tpu: REAL ISA mismatch loading a cached "

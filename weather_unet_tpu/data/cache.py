@@ -126,8 +126,7 @@ class DecodedCache:
                 self._data_path, mode="r+", dtype=np.uint8, shape=shape)
             self.present = self._open_present(capacity, fresh_ok=True)
         elif grown:
-            self.data = self._grow_memmap(self._data_path, shape)
-            self.present = self._grow_memmap(self._present_path, (capacity,))
+            self.data, self.present = self._grow_pair(shape)
         else:
             self.data = self._fresh_memmap(self._data_path, shape)
             self.present = self._open_present(capacity, fresh_ok=False)
@@ -155,24 +154,44 @@ class DecodedCache:
         os.replace(tmp, path)
         return m
 
-    @classmethod
-    def _grow_memmap(cls, path: str, shape) -> np.memmap:
-        """Replace the memmap at ``path`` with a larger one, copying the old
-        rows in as a prefix (row indices are preserved by ``_assign_rows``,
-        so a straight block copy keeps every filled row valid).  New rows
-        are zero (fresh memmap pages), i.e. not-present.  Same no-truncate
-        rename discipline as :meth:`_fresh_memmap`."""
-        old = None
+    def _grow_pair(self, shape):
+        """Replace data+present with larger memmaps, copying the old rows in
+        as a prefix (row indices are preserved by ``_assign_rows``, so a
+        straight block copy keeps every filled row valid).  New rows are
+        zero (fresh memmap pages), i.e. not-present.  Same no-truncate
+        rename discipline as :meth:`_fresh_memmap`.
+
+        Ordering is load-bearing against the documented lock-free lazy
+        fills of a concurrent OLD-cache process (pixels first, flag after):
+        the FLAGS snapshot is taken BEFORE the pixel copy, so flag=1 in the
+        snapshot implies the pixels landed before the copy read them; a row
+        filled in between just reads as absent and re-decodes.  Copying
+        data-then-present would invert that and could mark never-copied
+        rows present.  If the old data file cannot be read at all, the
+        flags are dropped (all rows refill lazily) rather than pointing at
+        zero pixels."""
+        flags = None
         try:
-            old = np.lib.format.open_memmap(path, mode="r")
+            old_p = np.lib.format.open_memmap(self._present_path, mode="r")
+            if old_p.dtype == np.uint8 and old_p.ndim == 1:
+                flags = np.array(old_p)             # snapshot, then pixels
         except Exception:
             pass
-        m = cls._fresh_memmap(path, shape)
-        if (old is not None and old.dtype == np.uint8
-                and old.ndim == len(shape) and old.shape[1:] == shape[1:]):
-            n = min(old.shape[0], shape[0])
-            m[:n] = old[:n]
-        return m
+        try:                # open the old mapping BEFORE the rename drops it
+            old_d = np.lib.format.open_memmap(self._data_path, mode="r")
+        except Exception:
+            old_d = None
+        data = self._fresh_memmap(self._data_path, shape)
+        if old_d is not None and old_d.shape[1:] == shape[1:]:
+            n = min(old_d.shape[0], shape[0])
+            data[:n] = old_d[:n]
+        else:
+            flags = None                            # no pixels → no flags
+        present = self._fresh_memmap(self._present_path, (shape[0],))
+        if flags is not None:
+            n = min(flags.shape[0], shape[0])
+            present[:n] = flags[:n]
+        return data, present
 
     @staticmethod
     def _assign_rows(paths, old_entries, capacity):
