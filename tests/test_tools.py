@@ -121,11 +121,15 @@ def test_bench_scripts_import_cleanly():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     scripts = sorted(
-        p for p in os.listdir(repo)
+        os.path.join(repo, p) for p in os.listdir(repo)
         if p == "bench.py" or (p.startswith("bench_") and p.endswith(".py")))
     assert len(scripts) >= 10
-    for script in scripts:
+    ex_dir = os.path.join(repo, "examples")
+    scripts += sorted(
+        os.path.join(ex_dir, p) for p in os.listdir(ex_dir)
+        if p.endswith(".py"))            # user-facing examples rot the same way
+    for path in scripts:
         spec = importlib.util.spec_from_file_location(
-            script[:-3], os.path.join(repo, script))
+            os.path.basename(path)[:-3], path)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)     # __main__-guarded: no device work
