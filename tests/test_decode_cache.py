@@ -105,6 +105,35 @@ def test_cache_missing_present_file_rebuilds_flags(tmp_path, jpegs):
     assert c2.misses == len(jpegs)      # flags lost → rows refill once
 
 
+def test_cache_grow_from_truncated_data_refills_tail(tmp_path, jpegs):
+    """Inconsistent pair (present.npy longer than data.npy, e.g. a partial
+    copy of a cache dir): growing must not mark rows present beyond the
+    copied pixel prefix — those rows have zero pixels and mtime-fresh paths
+    assigned to them would silently serve black images (ADVICE r4)."""
+    import os
+
+    d = str(tmp_path / "c")
+    c1 = DecodedCache(d, base_size=32, paths=jpegs)
+    first = {p: np.array(c1.get(p)) for p in jpegs}
+    rows = dict(c1._rows)
+    del c1
+    # truncate data.npy to a 3-row prefix, keep the full 6-row present.npy
+    full = np.array(np.lib.format.open_memmap(os.path.join(d, "data.npy"),
+                                              mode="r"))
+    os.remove(os.path.join(d, "data.npy"))
+    m = np.lib.format.open_memmap(os.path.join(d, "data.npy"), mode="w+",
+                                  dtype=np.uint8, shape=(3,) + full.shape[1:])
+    m[:] = full[:3]
+    m.flush()
+    del m
+    c2 = DecodedCache(d, base_size=32, paths=jpegs)   # capacity 3 → grow to 6
+    for p in jpegs:
+        np.testing.assert_array_equal(c2.get(p), first[p])
+    # exactly the tail rows (beyond the surviving pixel prefix) re-decoded
+    assert c2.misses == sum(1 for p in jpegs if rows[p] >= 3)
+    assert c2.hits == sum(1 for p in jpegs if rows[p] < 3)
+
+
 def test_cache_invalidates_on_mtime_change(tmp_path, jpegs):
     import os
 

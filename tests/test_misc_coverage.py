@@ -300,3 +300,35 @@ print("stats", aot_guard_stats())
     assert not (fpdir / "POISONED").exists()
     assert not (fpdir / "stale_entry.bin").exists()
     assert (fpdir / "HOST.json").exists()                 # rebuilt fresh
+
+
+def test_aot_guard_stats_json_safe(monkeypatch):
+    """aot_guard_stats must return a copy safe to json.dumps and mutate:
+    the live 'poisoned_dirs' set comes back as a sorted list, and editing
+    the copy never touches guard state (ADVICE r4)."""
+    import json
+
+    from weather_unet_tpu.core import profiling
+
+    live = {"installed": True, "suppressed": 2, "real": 1, "poisoned": True,
+            "cache_dir": "/b", "poisoned_dirs": {"/b", "/a"}}
+    monkeypatch.setattr(profiling, "_guard", live)
+    stats = profiling.aot_guard_stats()
+    assert stats["poisoned_dirs"] == ["/a", "/b"]
+    json.dumps(stats)                       # raises on any set leakage
+    stats["poisoned_dirs"].append("/c")
+    assert live["poisoned_dirs"] == {"/a", "/b"}
+
+
+def test_live_backend_probe_attribute_exists():
+    """cli.common._env_contract_init probes jax._src.xla_bridge._backends (a
+    private attribute) to detect a live backend; a probe failure now warns
+    instead of silently assuming no backend (ADVICE r4), and this test pins
+    the attribute for the installed jax so an upgrade that moves it is
+    caught here, not by the warning in production."""
+    import jax.numpy as jnp
+    from jax._src import xla_bridge
+
+    jnp.zeros(1).block_until_ready()        # ensure a backend is live
+    assert isinstance(xla_bridge._backends, dict)
+    assert xla_bridge._backends, "live backend not visible to the probe"

@@ -34,7 +34,18 @@ def _env_contract_init():
         from jax._src import xla_bridge
 
         started = bool(xla_bridge._backends)
-    except Exception:
+    except Exception as e:
+        # The probe reads a private jax attribute; if it moves in a jax
+        # upgrade, silently assuming "not started" would reintroduce the
+        # mutate-config-under-a-live-backend bug this function exists to
+        # prevent.  Warn loudly (tests pin the attribute's existence for
+        # the installed jax — tests/test_misc_coverage.py).
+        import sys
+
+        print(f"weather_unet_tpu: live-backend probe failed "
+              f"({type(e).__name__}: {e}); assuming no backend is "
+              f"initialized — if one is, platform config may be mutated "
+              f"under it", file=sys.stderr)
         started = False
     if started:
         if int(os.environ.get("WUT_NUM_PROCESSES", "1")) > 1:

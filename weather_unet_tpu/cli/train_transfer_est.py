@@ -18,7 +18,10 @@ def build_parser():
     p.add_argument("--gpu", type=str, default="0", help="parity flag; ignored")
     p.add_argument("--save_dir", type=str, default="cp/transfer")
     p.add_argument("--log_dir", type=str, default="runs")
-    p.add_argument("--pkl_path", type=str, required=True)
+    p.add_argument("--pkl_path", type=str, default=None,
+                   help="dataframe pickle (required unless --image_only — "
+                        "the reference's image_only branch never reads it, "
+                        "t_est_train.py:13,116-121)")
     p.add_argument("--stats_pkl", type=str, default=None,
                    help="without-outlier frame for z-scoring (t_est_train.py:126)")
     p.add_argument("--estimator_path", type=str, required=True)
@@ -61,6 +64,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if not args.image_only and args.pkl_path is None:
+        raise SystemExit("--pkl_path is required unless --image_only")
     from weather_unet_tpu.parallel.launch import maybe_initialize
 
     multiproc = maybe_initialize()   # multi-host: must run before backend init

@@ -192,8 +192,15 @@ def classify_aot_mismatch_line(line: str) -> Optional[str]:
 
 
 def aot_guard_stats() -> dict:
-    """Copy of the guard's counters (``suppressed``/``real``/``installed``)."""
-    return dict(_guard)
+    """Copy of the guard's counters (``suppressed``/``real``/``installed``).
+
+    Deep enough that callers can't mutate guard state through the view and
+    ``json.dumps`` works: the live ``poisoned_dirs`` set is returned as a
+    sorted list."""
+    out = dict(_guard)
+    if "poisoned_dirs" in out:
+        out["poisoned_dirs"] = sorted(out["poisoned_dirs"])
+    return out
 
 
 def install_aot_loader_guard(cache_dir: str):

@@ -189,7 +189,12 @@ class DecodedCache:
             flags = None                            # no pixels → no flags
         present = self._fresh_memmap(self._present_path, (shape[0],))
         if flags is not None:
-            n = min(flags.shape[0], shape[0])
+            # Clamp to the OLD DATA's row count too: an inconsistent pair
+            # (present.npy longer than data.npy, e.g. from a partial copy of
+            # a cache dir) must not mark rows present beyond the copied
+            # pixel prefix — those rows would serve all-zero images for any
+            # mtime-fresh path assigned to them.
+            n = min(flags.shape[0], old_d.shape[0], shape[0])
             present[:n] = flags[:n]
         return data, present
 
