@@ -107,6 +107,83 @@ def run_gan_trainer(out_dir):
     return m
 
 
+def run_gan_cached(out_dir, img_dir):
+    """The advertised multi-host + ``--decode_cache`` topology for real: both
+    ranks concurrently construct :class:`DecodedCache` over ONE shared dir
+    (the constructor flock's actual design point, ``data/cache.py:52-66``)
+    and train the REAL GAN trainer through ``ImagePathDataset`` +
+    ``CachedAugment`` with process-sharded loaders — then re-run warm (must
+    be all-hits with identical metrics) and uncached via the same native
+    decode (must match bitwise).  Returns a report the parent cross-checks
+    between ranks."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from weather_unet_tpu.core.profiling import enable_compilation_cache
+    from weather_unet_tpu.data.cache import CachedAugment, DecodedCache
+    from weather_unet_tpu.data.datasets import ImagePathDataset
+    from weather_unet_tpu.data.pipeline import BatchLoader
+    from weather_unet_tpu.train.gan import GanConfig
+    from weather_unet_tpu.train.loops import WeatherTransferTrainer
+
+    enable_compilation_cache()
+    paths = sorted(glob.glob(os.path.join(img_dir, "*.jpg")))
+    assert len(paths) == 16, paths
+    cache_dir = os.path.join(out_dir, "dcache")     # SHARED between ranks
+
+    def est_apply(images):
+        return jnp.mean(images, axis=(1, 2)) @ jnp.ones((3, 5), images.dtype)
+
+    cfg = GanConfig(input_size=32, batch_size=8, num_epoch=1)
+
+    def one_epoch(tag, transform):
+        ds = ImagePathDataset(paths, out_size=32, transform=transform)
+        tr = WeatherTransferTrainer(
+            cfg, est_apply,
+            save_dir=os.path.join(out_dir, f"{tag}{jax.process_index()}"),
+            name=tag,
+            log_dir=os.path.join(out_dir, f"runs-{tag}{jax.process_index()}"))
+        mk = lambda seed: BatchLoader(          # noqa: E731
+            ds, batch_size=8, shuffle=True, seed=seed, num_workers=2,
+            process_shard=True)
+        tr.train_epoch(mk(0), mk(1))
+        assert int(tr.state.global_step) == 2
+        m = {k: float(v) for k, v in tr._last_metrics.items()}
+        assert all(np.isfinite(v) for v in m.values()), (tag, m)
+        return m
+
+    # cold: both ranks race the constructor flock, then lazily fill their
+    # own process shard's rows
+    cold_cache = DecodedCache(cache_dir, base_size=32, paths=paths)
+    cold = one_epoch("dc-cold", CachedAugment(cold_cache))
+    assert cold_cache.misses > 0            # this rank really filled rows
+
+    # warm: a FRESH mapping (fresh-process emulation) must serve this rank's
+    # shard entirely from the shared memmap — rows its peer filled may still
+    # be in flight, but this rank's shard is its own deterministic slice
+    warm_cache = DecodedCache(cache_dir, base_size=32, paths=paths)
+    warm = one_epoch("dc-warm", CachedAugment(warm_cache))
+    assert warm_cache.misses == 0, warm_cache.misses
+    assert warm_cache.hits > 0
+
+    # uncached reference: same pixels via the same native decode the cache
+    # fill used (data/cache.py::_decode passes prefer_native=True)
+    os.environ["WUT_NATIVE_DECODE"] = "1"
+    try:
+        uncached = one_epoch("dc-ref", None)
+    finally:
+        os.environ.pop("WUT_NATIVE_DECODE", None)
+
+    for k in cold:
+        assert cold[k] == warm[k] == uncached[k], (
+            k, cold[k], warm[k], uncached[k])
+    return {"metrics": cold, "cold_misses": cold_cache.misses,
+            "warm_hits": warm_cache.hits}
+
+
 def run_supervised(out_dir):
     """A tiny REAL ``train_supervised`` run across processes: exercises the
     lockstep-compiled step/eval jits (pre-lockstep, concurrent first-call
@@ -192,6 +269,9 @@ def main():
         out["gan_metrics"] = run_gan_trainer(os.environ["WUT_TEST_OUT"])
     if os.environ.get("WUT_TEST_SUP") == "1":
         out["sup_param_sum"] = run_supervised(os.environ["WUT_TEST_OUT"])
+    if os.environ.get("WUT_TEST_CACHE") == "1":
+        out["cache"] = run_gan_cached(os.environ["WUT_TEST_OUT"],
+                                      os.environ["WUT_TEST_IMGDIR"])
     path = os.path.join(os.environ["WUT_TEST_OUT"],
                         f"rank{jax.process_index()}.json")
     with open(path, "w") as f:

@@ -19,6 +19,18 @@ from weather_unet_tpu.parallel import launch
 WORKER = os.path.join(os.path.dirname(__file__), "mp_worker.py")
 
 
+def _write_jpegs(d, n):
+    """n deterministic 64x64 JPEGs for the shared decode-cache section."""
+    from PIL import Image
+
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(42)
+    for i in range(n):
+        Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8)).save(
+            d / f"{i:02d}.jpg", quality=92)
+    return d
+
+
 def test_process_slice_single_process():
     # single-process: the slice is the whole batch
     assert launch.process_slice(16) == slice(0, 16)
@@ -83,6 +95,8 @@ def test_two_process_global_step(tmp_path):
     env["WUT_TEST_OUT"] = str(tmp_path)
     env["WUT_TEST_GAN"] = "1"           # also run the real GAN trainer 2-proc
     env["WUT_TEST_SUP"] = "1"           # ...and the supervised loop (lockstep)
+    env["WUT_TEST_CACHE"] = "1"         # ...and the shared --decode_cache dir
+    env["WUT_TEST_IMGDIR"] = str(_write_jpegs(tmp_path / "imgs", 16))
     env.pop("XLA_FLAGS", None)          # worker sets its own device count
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
@@ -110,6 +124,28 @@ def test_two_process_global_step(tmp_path):
     # both controllers hold identical replicated params
     assert reports[0]["sup_param_sum"] == pytest.approx(
         reports[1]["sup_param_sum"], abs=0)
+    # the shared --decode_cache topology (2 real processes x ONE cache dir,
+    # data/cache.py:52-66): both ranks filled rows through the flock'd
+    # constructor, the warm rerun was all-hits with identical metrics (the
+    # worker asserts cold == warm == uncached), replicated metrics agree
+    # across controllers, and the shared memmap ended fully and correctly
+    # populated (no SIGBUS / zeroed flags from the construction race)
+    c0, c1 = reports[0]["cache"], reports[1]["cache"]
+    assert c0["cold_misses"] > 0 and c1["cold_misses"] > 0
+    assert c0["warm_hits"] > 0 and c1["warm_hits"] > 0
+    for k in c0["metrics"]:
+        assert c0["metrics"][k] == pytest.approx(c1["metrics"][k], rel=1e-6), k
+    present = np.lib.format.open_memmap(tmp_path / "dcache" / "present.npy",
+                                        mode="r")
+    assert present.shape == (16,) and int(present.sum()) == 16
+    from weather_unet_tpu.data.cache import DecodedCache
+    jpegs = sorted(str(p) for p in (tmp_path / "imgs").glob("*.jpg"))
+    reopened = DecodedCache(str(tmp_path / "dcache"), base_size=32,
+                            paths=jpegs)
+    for p in jpegs:                      # every row serves real pixels
+        img = reopened.get(p)
+        assert img.shape == (32, 32, 3) and img.any(), p
+    assert reopened.misses == 0 and reopened.hits == 16
 
     # single-process reference on this session's own 8-device mesh
     import mp_worker
