@@ -593,6 +593,40 @@ def test_doctor_cli(capsys):
     assert info["probe_roundtrip_ms"] >= 0.0
 
 
+def test_doctor_goldens(capsys, tmp_path, monkeypatch):
+    """wut-doctor --goldens: enumerates the two env-blocked pretrained-weight
+    goldens (FID + IS) with paths, sha256 expectations, and the skipped
+    tests they activate; exits nonzero until all are certified (VERDICT r4
+    task #5)."""
+    import json
+
+    from weather_unet_tpu.cli import doctor
+
+    rc = doctor.main(["--goldens", "--json"])
+    out = json.loads(capsys.readouterr().out)
+    assert [s["name"] for s in out] == ["fid_inception", "is_inception"]
+    for s in out:
+        assert s["source_url"].startswith("https://")
+        assert len(s["expected_sha256_prefix"]) == 8
+        assert "tests/" in s["activates"]
+        # rc reflects certification state of what's actually on this host
+        assert s["certified"] == (rc == 0 or s["certified"])
+    # human output carries the instructions
+    assert doctor.main(["--goldens"]) in (0, 1)
+    human = capsys.readouterr().out
+    assert "FID_INCEPTION_PTH" in human and "IS_INCEPTION_PTH" in human
+    assert "activates:" in human
+
+    # a present-but-wrong file reports a sha mismatch, not certified
+    fake = tmp_path / "pt_inception.pth"
+    fake.write_bytes(b"not a checkpoint")
+    monkeypatch.setenv("FID_INCEPTION_PTH", str(fake))
+    assert doctor.main(["--goldens", "--json"]) == 1
+    out = json.loads(capsys.readouterr().out)
+    fid = out[0]
+    assert fid["present"] and not fid["certified"] and fid["sha256"]
+
+
 def test_doctor_survives_unreachable_backend(capsys, monkeypatch):
     """A hung backend (tunneled TPU with the link down) must not hang the
     diagnostics tool: the init watchdog reports the device unreachable,

@@ -3,8 +3,9 @@ refusal without real weights, and a golden-activation check against the real
 TF-ported checkpoint whenever one is available locally.
 
 Provide the real checkpoint via env ``FID_INCEPTION_PTH`` or at
-``configs/pt_inception.pth`` (offline conversion documented in
-``weather_unet_tpu/evaluation/fid.py``).
+``configs/pt_inception.pth`` — ``wut-doctor --goldens`` prints the full
+instructions (``evaluation/goldens.py`` is the registry; offline conversion
+documented in ``weather_unet_tpu/evaluation/fid.py``).
 """
 
 import os
@@ -17,11 +18,10 @@ import pytest
 from weather_unet_tpu.evaluation.fid import (
     FID_WEIGHTS_SHA256_PREFIX, fingerprint_weights_file, make_feature_fn,
     verify_fid_weights)
+from weather_unet_tpu.evaluation.goldens import find_golden
 from weather_unet_tpu.models.inception_fid import InceptionV3FID
 
-REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REAL_PTH = os.environ.get(
-    "FID_INCEPTION_PTH", os.path.join(REPO, "configs", "pt_inception.pth"))
+REAL_PTH = find_golden("fid_inception").path()
 
 
 def test_refuses_random_weights_by_default():

@@ -132,17 +132,49 @@ def _collect_host_side(info: dict, runtime, xla_cache_dir: str,
     }
 
 
+def report_goldens(as_json: bool = False) -> int:
+    """Enumerate the environment-blocked numeric goldens: which pretrained
+    checkpoints to drop where, expected sha256s, and which currently-skipped
+    tests they activate (``evaluation/goldens.py`` is the registry).  Exit 0
+    when every golden is present AND sha-certified, 1 otherwise — so an
+    egress-capable host can gate on ``wut-doctor --goldens``."""
+    from weather_unet_tpu.evaluation.goldens import golden_status
+
+    status = golden_status()
+    if as_json:
+        print(json.dumps(status, indent=2))
+    else:
+        for s in status:
+            state = ("CERTIFIED" if s["certified"]
+                     else "present, sha MISMATCH" if s["present"] else "MISSING")
+            print(f"[{state}] {s['name']}")
+            print(f"    file:      {s['path']}  (override: ${s['env_var']})")
+            print(f"    sha256:    expect prefix {s['expected_sha256_prefix']}"
+                  + (f", got {s['sha256']}" if s["sha256"] else ""))
+            print(f"    source:    {s['source_url']}")
+            print(f"    activates: {s['activates']}")
+            print(f"    {s['note']}")
+    return 0 if all(s["certified"] for s in status) else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(
         description="weather_unet_tpu environment diagnostics")
     p.add_argument("--probe", action="store_true",
                    help="time a tiny device dispatch + host read-back")
     p.add_argument("--json", action="store_true", help="machine-readable")
+    p.add_argument("--goldens", action="store_true",
+                   help="report the env-blocked pretrained-weight goldens "
+                        "(FID/IS checkpoints): status, expected sha256, "
+                        "where to drop the files, which skipped tests they "
+                        "activate; exits nonzero until all are certified")
     p.add_argument("--init_timeout", type=float, default=60.0,
                    help="seconds to wait for backend init before reporting "
                         "the device unreachable (tunneled TPUs block "
                         "uninterruptibly when the link is down)")
     args = p.parse_args(argv)
+    if args.goldens:
+        return report_goldens(as_json=args.json)
     # honor the WUT_* env contract (WUT_CPU_DEVICES / multi-process) BEFORE
     # backend init, exactly like the training CLIs — doctor must diagnose
     # the same runtime they would see
