@@ -97,7 +97,10 @@ class RealLoader:
 
 
 def run(batch, dtype_name, n_steps=40, real_data=False, cache_dir=None,
-        corpus_n=3072):
+        corpus_n=3072, quiet=False):
+    """Measure the trainer loop; returns the result dict.  ``quiet=True``
+    suppresses the JSON print (bench.py embeds the result in its own
+    one-line driver contract)."""
     import jax
     import jax.numpy as jnp
 
@@ -183,8 +186,9 @@ def run(batch, dtype_name, n_steps=40, real_data=False, cache_dir=None,
         }
         if cache_dir:
             out["cache_fill_sec"] = round(fill_s, 1)
-        print(json.dumps(out), flush=True)
-        return
+        if not quiet:
+            print(json.dumps(out), flush=True)
+        return out
     # Pre-stage the synthetic batches BEFORE the timed window.  Loader
     # construction device_puts ~77 MB per loader; over the tunnel's
     # 40-110 MB/s H2D (it wobbles) that is 1.5-4 s *inside* the window if
@@ -206,12 +210,15 @@ def run(batch, dtype_name, n_steps=40, real_data=False, cache_dir=None,
     tr.update_summary()            # sync point: reads metrics back
     wall = time.perf_counter() - t0
     ips_window = tr.scalar_dict.get("perf/images_per_sec", 0.0)
-    print(json.dumps({
+    out = {
         "config": f"trainer loop {dtype_name} B={batch}",
         "images_per_sec": round(ips_window, 1),
         "wall_images_per_sec": round(n_steps * batch / wall, 1),
         "steps": n_steps,
-    }), flush=True)
+    }
+    if not quiet:
+        print(json.dumps(out), flush=True)
+    return out
 
 
 if __name__ == "__main__":
