@@ -1,0 +1,150 @@
+"""Scripted user run-through on the REAL accelerator: train -> infer -> eval.
+
+The suite chains these CLIs in-process on CPU
+(``tests/test_cli_integration.py::test_cli_chain_train_infer_eval``); this
+script runs the same assembled pipeline the way a user would — three real
+subprocesses on whatever backend the host offers (the tunneled TPU here) —
+and reports per-stage wall times.  Reference workflow being mirrored:
+``t_cls_train.py:450-452`` -> ``inference/inf_transfer_c.py:101-124`` ->
+``eval/eval_class_transfer.py:106-143``.
+
+Usage (from the repo root; ~5-15 min on the tunneled v5e, compile-dominated):
+
+    python tools/tpu_runthrough.py [--workdir DIR] [--cpu]
+
+``--cpu`` forces the CPU backend via the WUT env contract (smoke mode).
+The synthetic world (i2w class tree + split pkl + random full-depth
+ResNet-101 classifier ``.pt``) is built host-side first; artifacts land
+under ``--workdir`` (default: a fresh temp dir).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# In-process import path only — do NOT export PYTHONPATH to the stages
+# (overriding it hides the axon plugin's site dir; the subprocesses run
+# with cwd=REPO instead, which needs no path override).
+sys.path.insert(0, REPO)
+
+
+def build_world(root: str) -> dict:
+    """Tiny i2w world: 5 classes x 3 images + split pkl + ResNet-101 .pt."""
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    i2w = os.path.join(root, "i2w")
+    paths = {"train": [], "test": []}
+    for cls in ["sunny", "cloudy", "rain", "snow", "foggy"]:
+        d = os.path.join(i2w, cls)
+        os.makedirs(d, exist_ok=True)
+        for j in range(3):
+            p = os.path.join(d, f"{j}.jpg")
+            Image.fromarray(
+                rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(p)
+            paths["train" if j < 2 else "test"].append(p)
+    split_pkl = os.path.join(root, "split.pkl")
+    with open(split_pkl, "wb") as f:
+        pickle.dump(paths, f)
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from weather_unet_tpu.compat.torch_io import resnet_to_torch
+    from weather_unet_tpu.models.resnet import ResNet101
+
+    est_path = os.path.join(root, "classifier101.pt")
+    v = ResNet101(num_classes=5).init(jax.random.key(0),
+                                      jnp.zeros((1, 32, 32, 3)), train=False)
+    torch.save(resnet_to_torch(v), est_path)
+    return {"split_pkl": split_pkl, "est": est_path}
+
+
+def stage(name: str, argv: list, env: dict, timeout: int = 3600) -> float:
+    print(f"--- {name}: {' '.join(argv)}", flush=True)
+    t0 = time.perf_counter()
+    r = subprocess.run(argv, cwd=REPO, env=env, timeout=timeout)
+    dt = time.perf_counter() - t0
+    if r.returncode != 0:
+        raise SystemExit(f"{name} failed (rc={r.returncode})")
+    print(f"--- {name}: OK in {dt:.1f}s", flush=True)
+    return dt
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (WUT_CPU_DEVICES=1)")
+    args = ap.parse_args(argv)
+
+    root = args.workdir or __import__("tempfile").mkdtemp(prefix="wut_run_")
+    os.makedirs(root, exist_ok=True)
+    print(f"workdir: {root}", flush=True)
+
+    # The parent only builds host-side fixtures — it must never grab the
+    # (single-tenant, tunneled) TPU; the CLI subprocesses own the device.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    world = build_world(root)
+
+    env = dict(os.environ)
+    if args.cpu:
+        env["WUT_CPU_DEVICES"] = "1"
+    py = sys.executable
+    times = {}
+
+    times["train"] = stage("train (t_cls_train parity)", [
+        py, "-m", "weather_unet_tpu.cli.train_transfer_cls",
+        "--image_root", os.path.join(root, "i2w"),
+        "--pkl_path", world["split_pkl"], "--estimator_path", world["est"],
+        "--dataset", "i2w", "--supervised", "--cross_ent", "--name", "run",
+        "--save_dir", os.path.join(root, "cp"),
+        "--log_dir", os.path.join(root, "runs"),
+        "--input_size", "32", "--batch_size", "4", "--num_epoch", "1",
+        "--num_workers", "2"], env)
+
+    # the training run's own terminal checkpoint drives the next stages
+    from weather_unet_tpu.train.checkpoint import latest_checkpoint
+
+    cp = latest_checkpoint(os.path.join(root, "cp"), "run")
+    assert cp, "training produced no checkpoint"
+    print(f"--- checkpoint: {cp}", flush=True)
+
+    out_dir = os.path.join(root, "out_imgs")
+    times["infer"] = stage("infer (inf_transfer_c parity)", [
+        py, "-m", "weather_unet_tpu.cli.inf_transfer_c",
+        # one class dir (list_images is non-recursive, like the reference's
+        # --image_only globbing): 3 images x 5 target classes = 15 outputs
+        "--image_root", os.path.join(root, "i2w", "sunny"), "--cp_path", cp,
+        "--output_dir", out_dir, "--input_size", "32", "--batch_size", "3",
+        "--image_only"], env)
+    n_out = len(os.listdir(out_dir))
+    assert n_out == 3 * 5, f"expected 15 translated images, got {n_out}"
+
+    times["eval"] = stage("eval (eval_class_transfer parity)", [
+        py, "-m", "weather_unet_tpu.cli.eval_class_transfer",
+        "--pkl_path", world["split_pkl"], "--cp_path", cp,
+        "--classifier_path", world["est"],
+        "--output_dir", os.path.join(root, "ev"),
+        "--input_size", "32", "--batch_size", "4"], env)
+    assert os.path.exists(os.path.join(root, "ev", "cm.pkl"))
+
+    print(json.dumps({"workdir": root, "stages_s":
+                      {k: round(v, 1) for k, v in times.items()},
+                      "translated_images": n_out}), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
