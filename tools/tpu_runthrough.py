@@ -85,6 +85,12 @@ def main(argv=None) -> int:
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (WUT_CPU_DEVICES=1)")
+    ap.add_argument("--aot_cache", default=None,
+                    help="pass through to the training CLI: a repeat "
+                         "run-through skips the GAN-step compile (measured "
+                         "24 min through the tunnel's slow window; the AOT "
+                         "first-dispatch cost is session-dependent — "
+                         "docs/PERF.md 'Cold start')")
     args = ap.parse_args(argv)
 
     root = args.workdir or __import__("tempfile").mkdtemp(prefix="wut_run_")
@@ -112,7 +118,8 @@ def main(argv=None) -> int:
         "--save_dir", os.path.join(root, "cp"),
         "--log_dir", os.path.join(root, "runs"),
         "--input_size", "32", "--batch_size", "4", "--num_epoch", "1",
-        "--num_workers", "2"], env)
+        "--num_workers", "2"]
+        + (["--aot_cache", args.aot_cache] if args.aot_cache else []), env)
 
     # the training run's own terminal checkpoint drives the next stages
     from weather_unet_tpu.train.checkpoint import latest_checkpoint
