@@ -133,3 +133,26 @@ def test_bench_scripts_import_cleanly():
             os.path.basename(path)[:-3], path)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)     # __main__-guarded: no device work
+
+
+def test_tpu_runthrough_cpu_smoke(tmp_path):
+    """tools/tpu_runthrough.py --cpu: the README-advertised scripted user
+    pipeline (train -> infer -> eval as REAL subprocesses) completes against
+    the CPU backend, chaining the training run's own checkpoint (the
+    on-device variant of test_cli_integration's in-process chain).  ~90 s:
+    three backend inits + a 2-step 32^2 GAN epoch on one core."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "tpu_runthrough.py"),
+         "--cpu", "--workdir", str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=1500, cwd=repo,
+        env={k: v for k, v in os.environ.items() if k != "XLA_FLAGS"})
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["translated_images"] == 15
+    assert set(summary["stages_s"]) == {"train", "infer", "eval"}
+    assert (tmp_path / "run" / "ev" / "cm.pkl").exists()
