@@ -156,3 +156,23 @@ def test_tpu_runthrough_cpu_smoke(tmp_path):
     assert summary["translated_images"] == 15
     assert set(summary["stages_s"]) == {"train", "infer", "eval"}
     assert (tmp_path / "run" / "ev" / "cm.pkl").exists()
+
+
+def test_tpu_runthrough_refuses_reused_workdir(tmp_path):
+    """A reused --workdir must be refused up front (before any backend
+    work): the trainer auto-resumes from the previous run's terminal
+    checkpoint, so a rerun would train zero steps and report a hollow
+    train wall time (round-5 review finding)."""
+    import importlib.util
+    import sys
+
+    import pytest
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "tpu_runthrough", os.path.join(repo, "tools", "tpu_runthrough.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    (tmp_path / "old" / "cp").mkdir(parents=True)
+    with pytest.raises(SystemExit, match="already holds run artifacts"):
+        mod.main(["--cpu", "--workdir", str(tmp_path / "old")])

@@ -23,7 +23,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import pickle
 import subprocess
 import sys
 import time
@@ -36,37 +35,18 @@ sys.path.insert(0, REPO)
 
 
 def build_world(root: str) -> dict:
-    """Tiny i2w world: 5 classes x 3 images + split pkl + ResNet-101 .pt."""
-    import numpy as np
-    from PIL import Image
+    """Tiny i2w world: 5 classes x 3 images + split pkl + ResNet-101 .pt.
 
-    rng = np.random.default_rng(0)
-    i2w = os.path.join(root, "i2w")
-    paths = {"train": [], "test": []}
-    for cls in ["sunny", "cloudy", "rain", "snow", "foggy"]:
-        d = os.path.join(i2w, cls)
-        os.makedirs(d, exist_ok=True)
-        for j in range(3):
-            p = os.path.join(d, f"{j}.jpg")
-            Image.fromarray(
-                rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)).save(p)
-            paths["train" if j < 2 else "test"].append(p)
-    split_pkl = os.path.join(root, "split.pkl")
-    with open(split_pkl, "wb") as f:
-        pickle.dump(paths, f)
+    One recipe shared with the suite's chain test
+    (``weather_unet_tpu.testing`` — the on-device run-through must exercise
+    the same world the in-process chain test pins)."""
+    from weather_unet_tpu.testing import (build_i2w_world,
+                                          build_random_classifier_pt)
 
-    import jax
-    import jax.numpy as jnp
-    import torch
-
-    from weather_unet_tpu.compat.torch_io import resnet_to_torch
-    from weather_unet_tpu.models.resnet import ResNet101
-
-    est_path = os.path.join(root, "classifier101.pt")
-    v = ResNet101(num_classes=5).init(jax.random.key(0),
-                                      jnp.zeros((1, 32, 32, 3)), train=False)
-    torch.save(resnet_to_torch(v), est_path)
-    return {"split_pkl": split_pkl, "est": est_path}
+    w = build_i2w_world(root)
+    est_path = build_random_classifier_pt(
+        os.path.join(root, "classifier101.pt"))
+    return {"split_pkl": w["split_pkl"], "est": est_path}
 
 
 def stage(name: str, argv: list, env: dict, timeout: int = 3600) -> float:
@@ -95,6 +75,17 @@ def main(argv=None) -> int:
 
     root = args.workdir or __import__("tempfile").mkdtemp(prefix="wut_run_")
     os.makedirs(root, exist_ok=True)
+    # A reused workdir would make the measurement hollow, not just stale:
+    # the trainer auto-resumes from the previous run's terminal checkpoint,
+    # so the train stage would fit() ZERO steps and the reported wall time
+    # would measure backend init while infer/eval consume the old artifact.
+    stale = [d for d in ("cp", "runs", "out_imgs", "ev")
+             if os.path.exists(os.path.join(root, d))]
+    if stale:
+        raise SystemExit(
+            f"workdir {root} already holds run artifacts {stale}; a rerun "
+            f"would auto-resume past training and measure nothing — use a "
+            f"fresh --workdir (keep --aot_cache to skip the recompile)")
     print(f"workdir: {root}", flush=True)
 
     # The parent only builds host-side fixtures — it must never grab the
