@@ -125,15 +125,12 @@ def test_sh_check_wrapper(world, tmp_path):
     import subprocess
     import sys
 
-    import torch
+    # full-depth by construction (imports models.resnet directly, so the
+    # small-resnet patch on cli.common doesn't reach it) — same recipe as
+    # tools/tpu_runthrough.py
+    from weather_unet_tpu.testing import build_random_classifier_pt
 
-    from weather_unet_tpu.compat.torch_io import resnet_to_torch
-    from weather_unet_tpu.models.resnet import ResNet101  # unpatched
-
-    est_full = tmp_path / "est101.pt"
-    v = ResNet101(num_classes=5).init(jax.random.key(0),
-                                      jnp.zeros((1, 32, 32, 3)), train=False)
-    torch.save(resnet_to_torch(v), est_full)
+    est_full = build_random_classifier_pt(tmp_path / "est101.pt")
 
     out = tmp_path / "gifs"
     env = dict(os.environ, WUT_CPU_DEVICES="1",
@@ -475,14 +472,17 @@ def test_train_transfer_est_flag_validation(world):
 
 
 def _parsed_args_reads(tree):
-    """dests read off a parsed-args namespace in ``tree``.
+    """dests READ off a parsed-args namespace in ``tree``.
 
-    Counts ``<ns>.<dest>`` / ``getattr(<ns>, '<dest>')`` ONLY when ``<ns>``
-    is a name the module binds to a ``*.parse_args(...)`` call (or a
-    function parameter of the same name — CLIs here pass the namespace
-    through helpers as ``args``).  Attribute accesses on OTHER objects must
-    not count: ``self.max_batch`` in serve.py must not excuse a dropped
-    ``args.max_batch`` read (review finding, round 5)."""
+    Namespace names are names bound to a ``*.parse_args(...)`` /
+    ``parse_known_args(...)`` call (incl. the first element of a tuple
+    unpack), propagated through same-module helper calls: ``run(args)``
+    makes ``run``'s matching parameter a namespace name too.  Only
+    Load-context ``<ns>.<dest>`` attribute accesses and
+    ``getattr(<ns>, '<dest>')`` count — comments/docstrings, attributes of
+    OTHER objects (``self.max_batch`` must not excuse a dropped
+    ``args.max_batch`` read), and write-only ``<ns>.<dest> = ...``
+    overrides do not (review findings, round 5)."""
     import ast
 
     ns_names = set()
@@ -492,14 +492,41 @@ def _parsed_args_reads(tree):
             targets = node.targets if isinstance(node, ast.Assign) else [node.target]
             if (isinstance(value, ast.Call)
                     and isinstance(value.func, ast.Attribute)
-                    and value.func.attr == "parse_args"):
+                    and value.func.attr in ("parse_args", "parse_known_args")):
                 for t in targets:
+                    if isinstance(t, (ast.Tuple, ast.List)) and t.elts:
+                        t = t.elts[0]    # ns, extra = p.parse_known_args()
                     if isinstance(t, ast.Name):
                         ns_names.add(t.id)
     ns_names = ns_names or {"args"}
+
+    # Fixpoint propagation through helper calls within the module.
+    funcs = {n.name: n for n in ast.walk(tree)
+             if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))}
+    changed = True
+    while changed:
+        changed = False
+        for node in ast.walk(tree):
+            if not (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Name)
+                    and node.func.id in funcs):
+                continue
+            params = [a.arg for a in funcs[node.func.id].args.args]
+            hits = [params[i] for i, a in enumerate(node.args)
+                    if isinstance(a, ast.Name) and a.id in ns_names
+                    and i < len(params)]
+            hits += [kw.arg for kw in node.keywords
+                     if kw.arg and isinstance(kw.value, ast.Name)
+                     and kw.value.id in ns_names]
+            for h in hits:
+                if h not in ns_names:
+                    ns_names.add(h)
+                    changed = True
+
     read = set()
     for node in ast.walk(tree):
         if (isinstance(node, ast.Attribute)
+                and isinstance(node.ctx, ast.Load)
                 and isinstance(node.value, ast.Name)
                 and node.value.id in ns_names):
             read.add(node.attr)

@@ -164,7 +164,6 @@ def test_tpu_runthrough_refuses_reused_workdir(tmp_path):
     checkpoint, so a rerun would train zero steps and report a hollow
     train wall time (round-5 review finding)."""
     import importlib.util
-    import sys
 
     import pytest
 

@@ -33,6 +33,10 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.dataset == "flicker" and args.pkl_path is None:
+        raise SystemExit("--pkl_path is required with --dataset flicker "
+                         "(the default); use --dataset i2w/raw for "
+                         "pickle-less image trees")
     from weather_unet_tpu.cli.common import list_images, load_estimator
     from weather_unet_tpu.data.datasets import (
         FlickrDataset, ImagePathDataset, SIGNAL_COLUMNS)

@@ -56,9 +56,26 @@ def build_random_classifier_pt(path, *, num_classes: int = 5,
                                input_size: int = 32, seed: int = 0) -> str:
     """Random full-depth ResNet-101 classifier in the reference's ``.pt``
     format (what ``t_cls_train.py:126-133`` torch-loads as the frozen
-    weather classifier).  CPU-only host-side init — safe to call from a
-    parent process that must not touch the accelerator."""
+    weather classifier).
+
+    Host-side by construction: if no jax backend is live yet, this PINS the
+    process to the CPU platform before the ``init`` below can trigger
+    backend init — on the TPU host the default backend is the axon plugin
+    (which ignores ``JAX_PLATFORMS``), so an unguarded call would grab the
+    single-tenant tunneled device (review finding, round 5).  A caller that
+    wants device work must initialize its backend first; a live backend is
+    left untouched."""
     import jax
+
+    try:
+        from jax._src import xla_bridge
+
+        live = bool(xla_bridge._backends)
+    except Exception:
+        live = False
+    if not live:
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import torch
 
