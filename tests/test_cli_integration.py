@@ -185,6 +185,51 @@ def test_inf_classifier_pseudolabel(world, tmp_path):
     assert set(df["w_condition"]) <= {"Clear", "Clouds", "Rain", "Mist", "Snow"}
 
 
+def test_inf_classifier_pseudolabel_i2w_mode(world, tmp_path):
+    """--dataset i2w labels the split pickle's TEST paths with i2w class
+    names (reference --image_i2w: df['test'] through ClassImageLoader) —
+    this mode previously globbed the image root non-recursively and found
+    nothing (review finding, round 5)."""
+    from weather_unet_tpu.cli import inf_classifier_i2w
+
+    out_pkl = tmp_path / "labeled_i2w.pkl"
+    inf_classifier_i2w.main([
+        "--image_root", "unused", "--pkl_path", world["split_pkl"],
+        "--classifier_path", world["est"], "--output_pkl", str(out_pkl),
+        "--dataset", "i2w", "--input_size", "32", "--batch_size", "2"])
+    df = pd.read_pickle(out_pkl)
+    assert len(df) == 5  # one test image per class in the world fixture
+    assert set(df["w_condition"]) <= {"sunny", "cloudy", "rain", "snow",
+                                      "foggy"}
+    with open(world["split_pkl"], "rb") as f:
+        assert list(df["paths"]) == pickle.load(f)["test"]
+
+
+def test_inf_classifier_pseudolabel_unreadable_photo(world, tmp_path):
+    """A photo whose file is unreadable must not crash the write-back after
+    the full inference pass (FlickrDataset substitutes a neighboring sample
+    on decode failure, so the corrupt id never reaches the key list): its
+    row gets w_condition None plus a warning (review finding, round 5)."""
+    from weather_unet_tpu.cli import inf_classifier_i2w
+
+    df = pd.read_pickle(world["pkl"])
+    broken = df.iloc[[0]].copy()
+    broken["photo"] = "broken_missing"
+    df2 = pd.concat([df, broken], ignore_index=True)
+    pkl2 = tmp_path / "with_broken.pkl"
+    df2.to_pickle(pkl2)
+    out_pkl = tmp_path / "labeled2.pkl"
+    inf_classifier_i2w.main([
+        "--image_root", world["img_dir"], "--pkl_path", str(pkl2),
+        "--classifier_path", world["est"], "--output_pkl", str(out_pkl),
+        "--input_size", "32", "--batch_size", "4"])
+    out = pd.read_pickle(out_pkl)
+    row = out[out["photo"] == "broken_missing"]
+    assert len(row) == 1 and row["w_condition"].isna().all()
+    ok = out[out["photo"] != "broken_missing"]
+    assert ok["w_condition"].notna().all()
+
+
 def test_eval_class_transfer(world, tmp_path):
     from weather_unet_tpu.cli import eval_class_transfer
 

@@ -30,6 +30,85 @@ def test_cache_fills_lazily_and_hits(tmp_path, jpegs):
     assert (c.hits, c.misses) == (1, 1)
 
 
+def test_cache_stale_row_invalidation_bumps_gen(tmp_path, jpegs):
+    """A reopen that finds a source file changed clears the row's present
+    flag AND bumps its gen counter — the torn-read guard other live
+    readers validate against (review finding, round 5)."""
+    import os
+    import time
+
+    d = str(tmp_path / "c")
+    c1 = DecodedCache(d, base_size=32, paths=jpegs)
+    c1.populate()
+    row = c1._rows[os.path.abspath(jpegs[2])]
+    assert int(c1.gen[row]) == 0
+    # rewrite the source (content + mtime change)
+    from PIL import Image
+
+    time.sleep(0.01)
+    Image.fromarray(np.zeros((64, 80, 3), np.uint8)).save(jpegs[2], quality=92)
+    c2 = DecodedCache(d, base_size=32, paths=jpegs)
+    assert c2._rows[os.path.abspath(jpegs[2])] == row
+    assert int(c2.present[row]) == 0 and int(c2.gen[row]) == 1
+    # c1 shares the inode: its next read of the invalidated row must NOT
+    # serve the old cached bytes
+    fresh = c1.get(jpegs[2])
+    assert fresh.mean() < 1.0           # the rewritten all-zero image
+    # untouched rows unaffected
+    assert int(c2.gen[(row + 1) % len(jpegs)]) == 0
+
+
+def test_cache_get_rejects_torn_read(tmp_path, jpegs):
+    """get()'s seqlock recheck: when an invalidation lands between the
+    pixel copy and the validation, the copy is discarded and the SOURCE is
+    served (it can never return half-old/half-new cache bytes)."""
+    import os
+
+    d = str(tmp_path / "c")
+    c = DecodedCache(d, base_size=32, paths=jpegs)
+    c.populate()
+    row = c._rows[os.path.abspath(jpegs[0])]
+    true_img = np.array(c.data[row])
+
+    class InvalidateOnRead:
+        """Simulates a concurrent process invalidating + refilling the row
+        exactly while our copy is in flight."""
+
+        def __init__(self, data):
+            self._data = data
+
+        def __getitem__(self, i):
+            view = self._data[i]
+            if i == row:                # the interleaved invalidator
+                c.present[row] = 0
+                c.gen[row] += 1
+                self._data[i] = 0       # torn/NEW bytes land in the row
+                c.present[row] = 1
+            return view
+
+        def __setitem__(self, i, v):
+            self._data[i] = v
+
+    c.data = InvalidateOnRead(c.data)
+    out = c.get(jpegs[0])
+    # served from the SOURCE file, which still decodes to the true image
+    np.testing.assert_array_equal(out, true_img)
+
+
+def test_cache_legacy_dir_without_gen_file(tmp_path, jpegs):
+    """Cache dirs written before gen.npy existed must reopen cleanly (the
+    constructor creates the counters) and still serve every row."""
+    import os
+
+    d = str(tmp_path / "c")
+    c1 = DecodedCache(d, base_size=32, paths=jpegs)
+    c1.populate()
+    os.remove(os.path.join(d, "gen.npy"))
+    c2 = DecodedCache(d, base_size=32, paths=jpegs)
+    assert c2.get(jpegs[1]).shape == (32, 32, 3)
+    assert c2.hits == 1 and int(c2.gen[0]) == 0
+
+
 def test_cache_survives_reopen(tmp_path, jpegs):
     d = str(tmp_path / "c")
     c1 = DecodedCache(d, base_size=32, paths=jpegs)

@@ -203,6 +203,52 @@ def test_dataset_uses_from_path(tmp_path, rng):
     assert calls == [paths[1]]
 
 
+def test_keyed_streams_schedule_independent(tmp_path, rng):
+    """Identically-seeded runs must produce identical augmented batches even
+    with a multi-worker loader: the per-image RNG stream is keyed
+    ``(seed, epoch, path, draw#)``, not a shared counter whose assignment
+    depends on thread scheduling (review finding, round 5)."""
+    from PIL import Image
+
+    from weather_unet_tpu.data.datasets import ImagePathDataset
+    from weather_unet_tpu.data.pipeline import BatchLoader
+
+    paths = []
+    for i in range(8):
+        arr = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+        p = tmp_path / f"{i}.jpg"
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(str(p))
+
+    def one_pass(epoch):
+        aug = NativeAugment(32, seed=11, resized_crop=True, brightness=0.4)
+        ds = ImagePathDataset(paths, out_size=48, transform=aug)
+        ld = BatchLoader(ds, batch_size=4, shuffle=False, num_workers=4)
+        ld.set_epoch(epoch)
+        return np.concatenate([b[0] for b in ld])
+
+    a, b = one_pass(0), one_pass(0)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, one_pass(1))  # fresh draws each epoch
+
+    # repeated draws of the SAME path within an epoch (with-replacement
+    # samplers) still get distinct streams; set_epoch resets the k counter
+    aug = NativeAugment(32, seed=11, resized_crop=True, brightness=0.4)
+    d0, d1 = aug.from_path(paths[0]), aug.from_path(paths[0])
+    assert not np.array_equal(d0, d1)
+    aug.set_epoch(0)
+    np.testing.assert_array_equal(d0, aug.from_path(paths[0]))
+
+    # the PIL twin rides the same keyed protocol
+    from weather_unet_tpu.data.transforms import HostAugment
+
+    h = HostAugment(32, seed=5, brightness=0.4)
+    arr0 = np.asarray(Image.open(paths[0]).convert("RGB"))
+    k1 = h.augment_keyed(arr0, paths[0])
+    h2 = HostAugment(32, seed=5, brightness=0.4)
+    np.testing.assert_array_equal(k1, h2.augment_keyed(arr0, paths[0]))
+
+
 def test_make_train_augment_selects(monkeypatch):
     from weather_unet_tpu.data.transforms import HostAugment
 

@@ -85,6 +85,93 @@ def test_train_supervised_auto_resume(tmp_path, rng, capsys):
     assert int(third.step) == 0             # range(3, 3): no epochs left
 
 
+class RecordingWriter:
+    """Writer stand-in capturing add_scalars calls (TB event files are not
+    readable back in-process)."""
+
+    def __init__(self):
+        self.records = []
+
+    def add_scalars(self, scalars, step):
+        self.records.append((step, dict(scalars)))
+
+    def add_image_grid(self, *a, **k):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass
+
+
+def test_eval_sweep_keeps_partial_test_tail(tmp_path, rng):
+    """A test split smaller than the batch size must still be evaluated —
+    padded to a shardable size and weight-masked — and its metrics must
+    EQUAL the plain eval on the real rows alone (review finding, round 5:
+    BatchLoader's drop_last default silently dropped the tail, and an empty
+    test sweep suppressed ALL metric logging)."""
+    from weather_unet_tpu.data.transforms import normalize_batch
+
+    model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    state = TrainState.create(
+        variables["params"], torch_adam(1e-4, weight_decay=1e-4),
+        extra=variables["batch_stats"])
+    x3 = rng.integers(0, 255, (3, 32, 32, 3), dtype=np.uint8)
+    t3 = rng.integers(0, 5, 3)
+
+    class OneBatch:
+        def __iter__(self):
+            yield (x3, t3)
+
+    rec = RecordingWriter()
+    eval_fn = make_eval_metrics(model, "classifier")
+    out_state = train_supervised(
+        model, make_classifier_step(model), eval_fn,
+        lambda: FakeLoader(rng, n_batches=1), OneBatch,
+        state=state, num_epoch=1, writer=rec, input_size=32,
+        save_dir=str(tmp_path), name="tail", eval_per_iter=1,
+        save_per_epoch=1, target_dtype=jnp.int32)
+
+    assert rec.records, "eval cadence wrote nothing"
+    _, scalars = rec.records[0]
+    assert "loss/train" in scalars and "accuracy/test" in scalars
+    # weighted-masked metrics == plain eval on just the 3 real rows
+    expect = eval_fn(out_state.params, out_state.extra,
+                     normalize_batch(jnp.asarray(x3), out_size=32),
+                     jnp.asarray(t3, jnp.int32))
+    assert np.isclose(scalars["accuracy/test"],
+                      float(expect["accuracy"]), atol=1e-5)
+    assert np.isclose(scalars["loss/test"], float(expect["loss"]), atol=1e-4)
+
+
+def test_eval_sweep_empty_test_split_still_logs_train(tmp_path, rng, capsys):
+    """Zero test batches must not suppress train-metric logging, and the
+    loop must say loudly that test metrics are being skipped."""
+
+    class Empty:
+        def __iter__(self):
+            return iter(())
+
+    rec = RecordingWriter()
+    model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    state = TrainState.create(
+        variables["params"], torch_adam(1e-4, weight_decay=1e-4),
+        extra=variables["batch_stats"])
+    train_supervised(
+        model, make_classifier_step(model),
+        make_eval_metrics(model, "classifier"),
+        lambda: FakeLoader(rng, n_batches=1), Empty,
+        state=state, num_epoch=1, writer=rec, input_size=32,
+        save_dir=str(tmp_path), name="empty", eval_per_iter=1,
+        save_per_epoch=1, target_dtype=jnp.int32)
+    assert rec.records and "loss/train" in rec.records[0][1]
+    assert not any(k.endswith("/test") for k in rec.records[0][1])
+    assert "test metrics will be skipped" in capsys.readouterr().out
+
+
 def test_pretrained_mask_freezes_backbone(rng):
     model = ResNet(block_counts=(1, 1, 1, 1), num_classes=5)
     variables = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))

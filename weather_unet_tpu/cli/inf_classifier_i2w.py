@@ -1,10 +1,17 @@
 """Pseudo-labeling tool: run the weather classifier over a dataset and write
 the softmax predictions back as a ``w_condition`` column.
 
-Rebuild of reference ``inference/inf_classifier_i2w.py:43-113`` (supports
-flickr dataframe pickles, i2w split pickles, and raw image directories).
-Unlike the reference, partial final batches are processed (the reference
-hard-exits when ``len(df) % batch_size != 0``).
+Rebuild of reference ``inference/inf_classifier_i2w.py:43-113``: ``flicker``
+mode labels a dataframe pickle, ``i2w`` mode labels the split pickle's test
+paths (reference ``--image_i2w``: ``df['test']`` through ClassImageLoader,
+i2w class names), ``raw`` mode globs a flat directory (reference
+``--image_only``).  Deviations: partial final batches are processed (the
+reference hard-exits when ``len(df) % batch_size != 0``), and all modes use
+the canonical flickr/i2w class orders from ``data/datasets.py`` — the
+reference's pseudo-labeler hardcodes ``['Clear','Clouds','Rain','Snow',
+'Mist']`` (``inf_classifier_i2w.py:63``), swapping Snow/Mist relative to
+the order its own classifiers are trained with (``dataset.py``), which
+would mislabel those two classes.
 """
 
 from __future__ import annotations
@@ -13,7 +20,8 @@ import argparse
 
 import numpy as np
 
-from weather_unet_tpu.data.datasets import WEATHER_CLASSES_FLICKR
+from weather_unet_tpu.data.datasets import (WEATHER_CLASSES_FLICKR,
+                                            WEATHER_CLASSES_I2W)
 
 
 def build_parser():
@@ -33,10 +41,11 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    if args.dataset == "flicker" and args.pkl_path is None:
-        raise SystemExit("--pkl_path is required with --dataset flicker "
-                         "(the default); use --dataset i2w/raw for "
-                         "pickle-less image trees")
+    if args.dataset in ("flicker", "i2w") and args.pkl_path is None:
+        raise SystemExit(f"--pkl_path is required with --dataset "
+                         f"{args.dataset} (flicker: dataframe pickle; i2w: "
+                         f"train/test split pickle); use --dataset raw for "
+                         f"a pickle-less image directory")
     from weather_unet_tpu.cli.common import list_images, load_estimator
     from weather_unet_tpu.data.datasets import (
         FlickrDataset, ImagePathDataset, SIGNAL_COLUMNS)
@@ -45,12 +54,23 @@ def main(argv=None):
 
     classify = load_estimator(args.classifier_path, softmax=True)
 
+    class_names = WEATHER_CLASSES_FLICKR
     if args.dataset == "flicker":
         import pandas as pd
 
         df = pd.read_pickle(args.pkl_path)
         dataset = FlickrDataset(args.image_root, df, SIGNAL_COLUMNS,
                                 out_size=args.input_size)
+    elif args.dataset == "i2w":
+        # reference --image_i2w: the split pickle's TEST paths, i2w names
+        # (inf_classifier_i2w.py:70-78)
+        import pickle
+
+        with open(args.pkl_path, "rb") as f:
+            split = pickle.load(f)
+        class_names = WEATHER_CLASSES_I2W
+        dataset = ImagePathDataset(split["test"], out_size=args.input_size,
+                                   with_path=True)
     else:
         paths = list_images(args.image_root)
         dataset = ImagePathDataset(paths, out_size=args.input_size, with_path=True)
@@ -64,13 +84,32 @@ def main(argv=None):
         preds.append(probs)
         keys.extend(list(batch[-1]))
     probs = np.concatenate(preds, axis=0)
-    labels = [WEATHER_CLASSES_FLICKR[i] for i in probs.argmax(axis=1)]
+    labels = [class_names[i] for i in probs.argmax(axis=1)]
 
     if args.dataset == "flicker" and args.output_pkl:
+        # keys -> row mapping; an unreadable photo makes FlickrDataset
+        # substitute a neighboring sample (bounded skip-on-corrupt), so its
+        # own id never appears in keys — label those rows None with a
+        # warning instead of crashing after the whole inference pass
         order = {pid: i for i, pid in enumerate(keys)}
         df = df.copy()
-        df["w_condition"] = [labels[order[p]] for p in df["photo"]]
+        missing = [p for p in df["photo"] if p not in order]
+        df["w_condition"] = [labels[order[p]] if p in order else None
+                             for p in df["photo"]]
+        if missing:
+            print(f"warning: {len(missing)} photo(s) had no prediction "
+                  f"(unreadable image substituted during loading) — "
+                  f"w_condition left None: {missing[:10]}"
+                  + (" ..." if len(missing) > 10 else ""), flush=True)
         df.to_pickle(args.output_pkl)
+        print(f"wrote {args.output_pkl}")
+    elif args.output_pkl:
+        # path modes: a paths -> label table (reference writes
+        # check_result.pkl with a w_condition column)
+        import pandas as pd
+
+        pd.DataFrame({"paths": keys, "w_condition": labels}).to_pickle(
+            args.output_pkl)
         print(f"wrote {args.output_pkl}")
     else:
         for k, lb, p in zip(keys, labels, probs):

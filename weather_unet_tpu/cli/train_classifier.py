@@ -95,7 +95,12 @@ def main(argv=None):
                            num_workers=args.num_workers, process_shard=True)
 
     def test_loader():
+        # single-process: keep the tail (the eval sweep pads+masks it —
+        # train/loops.py::_padded_eval_batches — matching the reference
+        # DataLoader's drop_last=False); multi-process: drop it, all ranks
+        # must assemble identical global batch shapes in lockstep
         return BatchLoader(test_set, batch_size=args.batch_size,
+                           drop_last=jax.process_count() > 1,
                            num_workers=args.num_workers, process_shard=True)
 
     writer = SummaryWriter(log_dir=args.log_dir, comment=run_comment(

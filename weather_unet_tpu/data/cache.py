@@ -15,12 +15,23 @@ Layout under ``cache_dir``:
     index.json   {"base_size", "entries": {path: {"row", "mtime", "size"}}}
     data.npy     uint8 memmap (N, base, base, 3)
     present.npy  uint8 flags — row filled markers (crash-safe lazy fill)
+    gen.npy      uint32 per-row invalidation counters (torn-read guard)
 
 Rows fill lazily on first access (the first epoch pays decode exactly like
 the uncached path; later epochs read at page-cache speed).  Stale entries
 (mtime/size changed) re-decode in place.  Concurrent loader threads may
 race on the same unfilled row — both write identical bytes, so the race is
 benign; the ``present`` flag is set after the pixel write.
+
+The identical-bytes argument does NOT cover a row whose source image
+CHANGED on disk: a second process re-opening the cache clears ``present``
+and lazily re-decodes NEW bytes into the row while a first process may be
+mid-read (review finding, round 5).  ``get`` therefore runs a seqlock-style
+protocol: snapshot ``gen[row]``, COPY the pixels, and accept only if
+``gen`` and ``present`` are unchanged — the invalidator clears ``present``
+and then bumps ``gen`` (fillers never touch ``gen``), so any refill that
+could have overlapped the copy is detected and the reader falls back to
+decoding the source directly.
 
 Usage (any dataset transform seam)::
 
@@ -48,6 +59,7 @@ class DecodedCache:
         self._index_path = os.path.join(self.dir, "index.json")
         self._data_path = os.path.join(self.dir, "data.npy")
         self._present_path = os.path.join(self.dir, "present.npy")
+        self._gen_path = os.path.join(self.dir, "gen.npy")
 
         # Multi-host training opens the same cache dir from every rank
         # (parallel.launch + --decode_cache).  Construction must be
@@ -130,8 +142,21 @@ class DecodedCache:
         else:
             self.data = self._fresh_memmap(self._data_path, shape)
             self.present = self._open_present(capacity, fresh_ok=False)
+        self.gen = self._open_gen(capacity, keep=reuse)
         for r in stale_rows:            # invalidate stale/new rows
+            # order is load-bearing for get()'s seqlock: clear the flag
+            # FIRST, bump gen second.  A reader that saw the old flag=1 and
+            # copies concurrently with the later refill must observe a gen
+            # change at its recheck (the refill can only start after this
+            # bump); a reader that snapshots gen after the bump either sees
+            # flag=0 (decodes fresh) or flag=1 re-set by a COMPLETED refill
+            # (stable new bytes).
             self.present[r] = 0
+            if reuse:
+                # only a REUSED (shared-inode) file can have live readers
+                # in other processes; fresh/grown builds just replaced the
+                # inodes, so old readers never see these rows
+                self.gen[r] += 1
         with open(self._index_path + ".tmp", "w") as f:
             json.dump({"base_size": self.base, "entries": entries}, f)
         os.replace(self._index_path + ".tmp", self._index_path)
@@ -139,8 +164,8 @@ class DecodedCache:
         self.misses = 0
 
     @staticmethod
-    def _fresh_memmap(path: str, shape) -> np.memmap:
-        """Create a fresh uint8 memmap at ``path`` WITHOUT truncating the
+    def _fresh_memmap(path: str, shape, dtype=np.uint8) -> np.memmap:
+        """Create a fresh memmap at ``path`` WITHOUT truncating the
         existing inode: ``open_memmap(mode='w+')`` O_TRUNCs in place, which
         would SIGBUS (or silently re-point rows for) a live process that
         still has the old file mapped — e.g. a training run mid-epoch while
@@ -149,7 +174,7 @@ class DecodedCache:
         mappers; the mapping returned here stays valid across the rename
         (same inode)."""
         tmp = path + ".tmp"
-        m = np.lib.format.open_memmap(tmp, mode="w+", dtype=np.uint8,
+        m = np.lib.format.open_memmap(tmp, mode="w+", dtype=dtype,
                                       shape=shape)
         os.replace(tmp, path)
         return m
@@ -245,6 +270,27 @@ class DecodedCache:
         m[:] = 0
         return m
 
+    def _open_gen(self, n: int, keep: bool):
+        """Open (or create) the per-row invalidation counters.
+
+        ``keep=True`` (the reuse path) re-opens the shared file so
+        concurrent processes on the same inode see each other's bumps;
+        otherwise fresh zeros — correct because a fresh/grown build also
+        replaced data+present via rename, so older processes read the OLD
+        inodes, which the new process never writes (no shared rows to
+        tear).  A stale/garbage gen value can only cause a spurious reader
+        fallback to source decode, never a false accept."""
+        if keep:
+            try:
+                m = np.lib.format.open_memmap(self._gen_path, mode="r+")
+                if m.shape == (n,) and m.dtype == np.uint32:
+                    return m
+            except Exception:
+                pass
+        m = self._fresh_memmap(self._gen_path, (n,), dtype=np.uint32)
+        m[:] = 0
+        return m
+
     def _stat(self, p):
         try:
             st = os.stat(p)
@@ -278,13 +324,24 @@ class DecodedCache:
         return _decode(path, self.base, prefer_native=True)
 
     def get(self, path: str) -> np.ndarray:
-        """Decoded base-size uint8 HWC image; decodes and fills on miss."""
+        """Decoded base-size uint8 HWC image; decodes and fills on miss.
+
+        Hit path is a seqlock read (module docstring): gen snapshot ->
+        pixel COPY -> gen+flag recheck.  A recheck failure means another
+        process invalidated this row (source file changed) while we read —
+        fall back to decoding the source, which is definitionally fresh.
+        The copy costs ~8 us/row (measured, 257^2x3) vs the ~800 us/img
+        host supply bound — noise."""
         row = self._rows.get(os.path.abspath(path))
         if row is None:
             return self._decode(path)   # not in the cached set: passthrough
+        g0 = int(self.gen[row])
         if self.present[row]:
-            self.hits += 1
-            return np.asarray(self.data[row])
+            buf = np.array(self.data[row])          # copy, then validate
+            if self.gen[row] == g0 and self.present[row]:
+                self.hits += 1
+                return buf
+            return self._decode(path)   # torn window: serve the source
         img = self._decode(path)
         self.data[row] = img
         self.present[row] = 1           # flag AFTER pixels (crash safety)
@@ -311,7 +368,16 @@ class CachedAugment:
 
     def from_path(self, path: str) -> np.ndarray:
         img = self.cache.get(path)
-        return self.augment(img) if self.augment is not None else img
+        if self.augment is None:
+            return img
+        # keyed per-path RNG stream when offered (transforms._KeyedRngMixin)
+        keyed = getattr(self.augment, "augment_keyed", None)
+        return keyed(img, path) if keyed is not None else self.augment(img)
+
+    def set_epoch(self, epoch: int) -> None:
+        se = getattr(self.augment, "set_epoch", None)
+        if se is not None:
+            se(epoch)
 
     def __call__(self, image_u8: np.ndarray) -> np.ndarray:
         return (self.augment(image_u8) if self.augment is not None

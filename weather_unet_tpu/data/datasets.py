@@ -89,7 +89,10 @@ def _load(path: str, out_size: Optional[int], transform) -> np.ndarray:
         return transform.from_path(path)
     image = _decode(path, out_size)
     if transform is not None:
-        image = transform(image)
+        # prefer the schedule-independent per-path RNG stream when the
+        # transform offers one (transforms._KeyedRngMixin)
+        keyed = getattr(transform, "augment_keyed", None)
+        image = keyed(image, path) if keyed is not None else transform(image)
     return image
 
 

@@ -63,13 +63,20 @@ class BatchLoader:
         the absolute epoch index, making the order a pure function of
         ``(seed, epoch)`` — identical across hosts (the multi-process
         ``process_shard`` contract) and reproducible under resume.
-        Propagates to the ``sampler`` when it supports ``set_epoch``.
+        Propagates to the ``sampler`` and to the dataset's ``transform``
+        when they support ``set_epoch`` (the transform keys its per-path
+        augmentation RNG streams on the epoch —
+        ``transforms._KeyedRngMixin``).
         """
         self._rng = np.random.default_rng(
             np.random.SeedSequence((self.seed, epoch)))
         se = getattr(self.sampler, "set_epoch", None)
         if se is not None:
             se(epoch)
+        se_t = getattr(getattr(self.dataset, "transform", None),
+                       "set_epoch", None)
+        if se_t is not None:
+            se_t(epoch)
 
     def __len__(self):
         n = len(self.sampler) if self.sampler is not None else len(self.dataset)

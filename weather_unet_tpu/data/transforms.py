@@ -168,7 +168,61 @@ def _color_jitter(key, img, cfg: AugmentConfig):
     return jnp.clip(img, 0.0, 1.0)
 
 
-class HostAugment:
+class _KeyedRngMixin:
+    """Per-sample RNG streams for loader-thread transforms.
+
+    Bare ``__call__`` draws come from a lock-guarded ``(seed, counter)``
+    stream — thread-safe, but under ``num_workers>1`` the stream→image
+    assignment depends on thread scheduling, so two identically-seeded runs
+    can augment the same image differently (review finding, round 5).  The
+    datasets' ``_load`` seam therefore uses the KEYED path
+    (``augment_keyed``/``from_path``): stream ``(seed, epoch, crc32(path),
+    k)`` where ``k`` counts prior draws of that path this epoch.  For
+    without-replacement sampling (every path once per epoch, the shuffle
+    default) this is fully schedule-independent — exact replay across runs
+    and resumes; under a with-replacement sampler (``ImbalancedSampler``)
+    the per-epoch (image, augmentation) MULTISET is deterministic, with
+    only the batch position of repeated draws scheduling-dependent.
+    ``BatchLoader.set_epoch`` propagates here through the dataset's
+    transform.
+    """
+
+    def _rng_init(self, seed: int):
+        import threading
+
+        self.seed = seed
+        self._lock = threading.Lock()
+        self._counter = 0
+        self._epoch = 0
+        self._path_counts = {}
+
+    def set_epoch(self, epoch: int):
+        with self._lock:
+            self._epoch = int(epoch)
+            self._path_counts.clear()
+
+    def _rng(self):
+        import numpy as _np
+
+        with self._lock:
+            self._counter += 1
+            n = self._counter
+        return _np.random.default_rng((self.seed, n))
+
+    def _rng_keyed(self, path: str):
+        import zlib
+
+        import numpy as _np
+
+        with self._lock:
+            k = self._path_counts.get(path, 0)
+            self._path_counts[path] = k + 1
+            e = self._epoch
+        return _np.random.default_rng(
+            (self.seed, e, zlib.crc32(path.encode("utf-8", "replace")), k))
+
+
+class HostAugment(_KeyedRngMixin):
     """Reference-faithful CPU augmentation for the loader threads
     (``t_cls_train.py:81-102``: RandomRotation(10) -> RandomResizedCrop |
     Resize -> RandomHorizontalFlip -> optional ColorJitter).
@@ -182,8 +236,7 @@ class HostAugment:
     (``NativeAugment``, 3.0x faster per core); this PIL path is the
     reference-faithful fallback (``WUT_NATIVE_AUGMENT=0``).
 
-    Thread-safe deterministic RNG: a lock-guarded counter drives per-call
-    ``np.random.default_rng((seed, counter))`` streams.
+    RNG streams: see :class:`_KeyedRngMixin`.
     """
 
     def __init__(self, out_size: int, *, degrees: float = 10.0,
@@ -200,19 +253,7 @@ class HostAugment:
         self.brightness = brightness
         self.contrast = contrast
         self.saturation = saturation
-        self.seed = seed
-        import threading
-
-        self._lock = threading.Lock()
-        self._counter = 0
-
-    def _rng(self):
-        import numpy as _np
-
-        with self._lock:
-            self._counter += 1
-            n = self._counter
-        return _np.random.default_rng((self.seed, n))
+        self._rng_init(seed)
 
     def _sample_crop(self, rng, w, h):
         """torchvision RandomResizedCrop.get_params: 10 rejection attempts,
@@ -238,11 +279,19 @@ class HostAugment:
         return (w - cw) // 2, (h - ch) // 2, cw, ch
 
     def __call__(self, image_u8):
-        """uint8 HWC -> augmented uint8 HWC at ``out_size``."""
+        """uint8 HWC -> augmented uint8 HWC at ``out_size`` (counter
+        stream)."""
+        return self._apply(image_u8, self._rng())
+
+    def augment_keyed(self, image_u8, path: str):
+        """Same, but on the schedule-independent ``(seed, epoch, path, k)``
+        stream — the datasets' ``_load`` seam calls this."""
+        return self._apply(image_u8, self._rng_keyed(path))
+
+    def _apply(self, image_u8, rng):
         from PIL import Image, ImageEnhance
         import numpy as _np
 
-        rng = self._rng()
         im = Image.fromarray(image_u8)
         if self.degrees:
             angle = rng.uniform(-self.degrees, self.degrees)
@@ -271,7 +320,7 @@ class HostAugment:
         return _np.asarray(im, dtype=_np.uint8)
 
 
-class NativeAugment:
+class NativeAugment(_KeyedRngMixin):
     """Fused native train augmentation: JPEG decode -> one composed affine
     resample (rotation o resized-crop o hflip) -> color jitter, in one
     GIL-free C++ call per image (``runtime/augment.cc``).
@@ -284,8 +333,10 @@ class NativeAugment:
     on downscale and rotation/crop are composed instead of sequential;
     jitter order is fixed brightness -> contrast -> saturation.
 
-    Randomness: numpy streams keyed ``(seed, counter)`` like ``HostAugment``;
-    the drawn uniforms parameterize the C affine so runs are deterministic.
+    Randomness: numpy streams per :class:`_KeyedRngMixin` (``from_path`` and
+    ``augment_keyed`` ride the schedule-independent keyed streams; bare
+    ``__call__`` the legacy counter); the drawn uniforms parameterize the C
+    affine so runs are deterministic.
     """
 
     def __init__(self, out_size: int, *, degrees: float = 10.0,
@@ -309,19 +360,7 @@ class NativeAugment:
         self.brightness = brightness
         self.contrast = contrast
         self.saturation = saturation
-        self.seed = seed
-        import threading
-
-        self._lock = threading.Lock()
-        self._counter = 0
-
-    def _rng(self):
-        import numpy as _np
-
-        with self._lock:
-            self._counter += 1
-            n = self._counter
-        return _np.random.default_rng((self.seed, n))
+        self._rng_init(seed)
 
     def _draw(self, rng):
         """(uniforms[6], jitter factors[3]); factor -1 disables a jitter."""
@@ -339,9 +378,9 @@ class NativeAugment:
                     hflip=self.hflip, out_size=self.out_size)
 
     def from_path(self, path: str):
-        """Fused decode+augment; raises IOError on a bad file so dataset
-        skip-on-corrupt retry loops engage."""
-        u, jit = self._draw(self._rng())
+        """Fused decode+augment on the keyed stream; raises IOError on a bad
+        file so dataset skip-on-corrupt retry loops engage."""
+        u, jit = self._draw(self._rng_keyed(path))
         out = self._runtime.decode_augment_file(path, u, jit,
                                                 **self._cfg_kwargs())
         if out is None:
@@ -349,8 +388,17 @@ class NativeAugment:
         return out
 
     def __call__(self, image_u8):
-        """Augment an already-decoded uint8 HWC image (non-JPEG fallback)."""
-        u, jit = self._draw(self._rng())
+        """Augment an already-decoded uint8 HWC image (non-JPEG fallback,
+        counter stream)."""
+        return self._augment_arr(image_u8, self._rng())
+
+    def augment_keyed(self, image_u8, path: str):
+        """Augment a decoded image on the keyed stream (decode-cache and
+        non-JPEG ``_load`` paths)."""
+        return self._augment_arr(image_u8, self._rng_keyed(path))
+
+    def _augment_arr(self, image_u8, rng):
+        u, jit = self._draw(rng)
         h, w = image_u8.shape[:2]
         mat = self._runtime.make_affine(h, w, u, **self._cfg_kwargs())
         return self._runtime.augment_u8(image_u8, mat, jit, self.out_size)

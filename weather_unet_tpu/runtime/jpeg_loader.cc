@@ -251,6 +251,10 @@ int wut_decode_bytes(const uint8_t* data, long len, int out_size,
 int wut_decode_batch(const char** paths, int n, int out_size, uint8_t* out,
                      int* ok, int n_threads) {
   if (n_threads <= 0) n_threads = std::thread::hardware_concurrency();
+  // hardware_concurrency() may legally return 0 ("not computable"); without
+  // this clamp NO worker would run and the caller's uninitialized out/ok
+  // buffers would be returned as if decoded (review finding, round 5).
+  if (n_threads <= 0) n_threads = 1;
   std::atomic<int> next(0), good(0);
   const size_t stride = static_cast<size_t>(out_size) * out_size * 3;
   auto worker = [&]() {

@@ -7,6 +7,7 @@ scripts.
 from __future__ import annotations
 
 import functools
+import inspect
 import itertools
 import os
 import time
@@ -493,6 +494,35 @@ class WeatherTransferTrainer:
             self._ckpt.close()
 
 
+def _padded_eval_batches(loader, n_shards: int, counts: list):
+    """Yield ``(images, targets, weights)`` eval batches with any PARTIAL
+    batch padded (last row repeated) up to a shardable row count, so the
+    tail of a ``drop_last=False`` test split is evaluated instead of
+    silently dropped (reference DataLoader keeps it; review finding,
+    round 5).  Padded rows carry weight 0; the real row count of each batch
+    is appended to ``counts`` for host-side weighted aggregation.
+
+    The pad target is the first batch's size when shardable (the common
+    case then compiles ONE eval shape: full batches pass through untouched,
+    only the tail pads up), else the next multiple of ``n_shards`` (the
+    mesh's batch-axis shard count — an indivisible row count cannot be
+    ``device_put`` onto the batch sharding)."""
+    target = None
+    for b in loader:
+        x, t = np.asarray(b[0]), np.asarray(b[1])
+        n = x.shape[0]
+        if target is None:
+            target = n if n % n_shards == 0 else -(-n // n_shards) * n_shards
+        tgt = max(target, -(-n // n_shards) * n_shards)  # never truncate
+        if n < tgt:
+            x = np.concatenate([x, np.repeat(x[-1:], tgt - n, axis=0)])
+            t = np.concatenate([t, np.repeat(t[-1:], tgt - n, axis=0)])
+        w = np.zeros(tgt, np.float32)
+        w[:n] = 1.0
+        counts.append(n)
+        yield x, t, w
+
+
 def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                      *, state: TrainState, plan: Optional[MeshPlan] = None,
                      batch_size: Optional[int] = None,
@@ -531,8 +561,18 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                    out_shardings=(rsh, rsh),
                    donate_argnums=(0,))  # state buffers reused in place
     (jstep,), _ = _tiered_steps([(fused, "sup_step")], step_kw, aot_cache)
+    # The sweep always passes per-sample weights (ones on full batches, 0 on
+    # padded tail rows); a caller-supplied 4-arg eval_fn is wrapped to drop
+    # them — numerically identical because its loaders never pad (padding
+    # only happens for partial batches, which drop_last=True callers never
+    # produce).
+    if len(inspect.signature(eval_fn).parameters) >= 5:
+        eval_w = eval_fn
+    else:
+        eval_w = lambda p, b, x, t, w: eval_fn(p, b, x, t)
     jeval = lockstep_compile(
-        jax.jit(eval_fn, in_shardings=(rsh, rsh, bsh, bsh), out_shardings=rsh),
+        jax.jit(eval_w, in_shardings=(rsh, rsh, bsh, bsh, bsh),
+                out_shardings=rsh),
         "sup_eval")
     # Auto-resume, same semantics as WeatherTransferTrainer._resume: newest
     # checkpoint wins; optimizer state rides along so Adam moments survive a
@@ -601,6 +641,7 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                      "epoch_step": epoch_step})
 
     train_metrics = []
+    warned_empty_test = False
     # single-process: targets ship with the dispatch (see WeatherTransferTrainer);
     # multi-process: every sharded field must be assembled from per-host rows
     fields = [0] if jax.process_count() == 1 else [0, 1]
@@ -646,21 +687,42 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                 if global_step % eval_per_iter == 0:
                     train_metrics = [
                         {k2: float(v) for k2, v in m.items()} for m in train_metrics]
-                    test_accum = []
-                    for tb in device_prefetch(test_loader_fn(), sharding=bsh,
-                                              device_fields=[0, 1]):
+                    test_accum, counts = [], []
+                    # multi-process: never pad — each batch here is a
+                    # PROCESS shard and all ranks must assemble identical
+                    # global shapes in lockstep (their loaders keep
+                    # drop_last=True; see the supervised CLIs)
+                    pad_shards = plan.n_data if jax.process_count() == 1 else 1
+                    batches = _padded_eval_batches(test_loader_fn(),
+                                                   pad_shards, counts)
+                    for tb in device_prefetch(batches, sharding=bsh,
+                                              device_fields=[0, 1, 2]):
                         m = jeval(state.params, state.extra, norm(tb[0]),
-                                  tb[1].astype(target_dtype))
+                                  tb[1].astype(target_dtype), tb[2])
                         test_accum.append(m)
                     test_accum = [
                         {k2: float(v) for k2, v in m.items()} for m in test_accum]
-                    if writer is not None and test_accum:
-                        mean = lambda ms, k2: float(np.mean([m[k2] for m in ms]))
+                    if not test_accum and not warned_empty_test:
+                        warned_empty_test = True
+                        print("warning: test loader yielded no batches "
+                              "(test split smaller than the batch size with "
+                              "drop_last?) — test metrics will be skipped",
+                              flush=True)
+                    if writer is not None:
+                        # train: plain mean over the cadence window; test:
+                        # weighted by real (unpadded) rows per batch, so a
+                        # partial tail batch counts its samples exactly once
                         scalars = {}
-                        for k2 in train_metrics[0]:
-                            scalars[f"{k2}/train"] = mean(train_metrics, k2)
-                        for k2 in test_accum[0]:
-                            scalars[f"{k2}/test"] = mean(test_accum, k2)
+                        if train_metrics:
+                            for k2 in train_metrics[0]:
+                                scalars[f"{k2}/train"] = float(
+                                    np.mean([m[k2] for m in train_metrics]))
+                        if test_accum:
+                            n_tot = float(sum(counts))
+                            for k2 in test_accum[0]:
+                                scalars[f"{k2}/test"] = float(
+                                    sum(m[k2] * n for m, n in
+                                        zip(test_accum, counts)) / n_tot)
                         writer.add_scalars(scalars, global_step)
                     train_metrics = []
                 global_step += 1

@@ -88,20 +88,36 @@ def make_estimator_step(model, trainable_mask=None):
 
 def make_eval_metrics(model, kind: str):
     """Eval forward (BN running stats) returning the reference's test metrics
-    (``classifier.py:148-160``, ``estimator.py:196-206``)."""
+    (``classifier.py:148-160``, ``estimator.py:196-206``).
 
-    def evaluate(params, batch_stats, images, targets):
+    ``weights`` (optional, per-sample 0/1) lets the eval sweep include a
+    PARTIAL final test batch padded up to a shardable size: padded rows get
+    weight 0 and the returned metrics are weighted means over real rows
+    only, matching the reference DataLoader's ``drop_last=False`` test
+    semantics (review finding, round 5).  ``weights=None`` is the plain
+    mean (identical to the pre-weights behavior)."""
+
+    def evaluate(params, batch_stats, images, targets, weights=None):
         out = model.apply({"params": params, "batch_stats": batch_stats},
                           images, train=False)
+        w = (jnp.ones(out.shape[0], jnp.float32) if weights is None
+             else weights.astype(jnp.float32))
+        wmean = lambda per_sample: (jnp.sum(per_sample.astype(jnp.float32) * w)
+                                    / jnp.sum(w))
         if kind == "classifier":
+            logp = jax.nn.log_softmax(out, axis=-1)
+            nll = -jnp.take_along_axis(
+                logp, targets[:, None].astype(jnp.int32), axis=-1)[:, 0]
             return {
-                "loss": losses.cross_entropy_loss(out, targets),
-                "accuracy": jnp.mean(
-                    (jnp.argmax(out, axis=1) == targets).astype(jnp.float32)
-                ),
+                "loss": wmean(nll),
+                "accuracy": wmean(
+                    (jnp.argmax(out, axis=1) == targets).astype(jnp.float32)),
             }
-        return {"mse": losses.mse_loss(out, targets),
-                "l1": losses.l1_loss(out, targets)}
+        # per-sample mean over signal dims == the reference's global mean
+        # when every sample carries equal weight
+        sq = jnp.mean(jnp.square(out - targets), axis=tuple(range(1, out.ndim)))
+        ab = jnp.mean(jnp.abs(out - targets), axis=tuple(range(1, out.ndim)))
+        return {"mse": wmean(sq), "l1": wmean(ab)}
 
     return evaluate
 
