@@ -35,6 +35,17 @@ def test_api_roundtrip(tmp_path, rng):
     frames = wt.sweep(x, lambda imgs: jnp.mean(imgs, axis=(1, 2)) @ jnp.ones((3, 5)),
                       num_frames=3)
     assert frames.shape == (3, 5, 2, 32, 32, 3)
+    # repeat sweeps reuse ONE jitted function (a per-call closure would
+    # recompile the full T x classes forward every call — review finding,
+    # round 5); a changed alpha must not add a trace either (traced scalar)
+    jit_fn = wt._sweep_jit
+    assert jit_fn is not None
+    wt.sweep(x, lambda imgs: jnp.mean(imgs, axis=(1, 2)) @ jnp.ones((3, 5)),
+             num_frames=3, alpha=1.5)
+    assert wt._sweep_jit is jit_fn
+    cache_size = getattr(jit_fn, "_cache_size", None)
+    if cache_size is not None:
+        assert cache_size() == 1
 
     img8 = wt.to_uint8(out)
     assert img8.dtype == np.uint8 and img8.max() <= 255

@@ -85,6 +85,24 @@ def test_fid_from_activations_sanity(rng):
     assert diff > 10.0
 
 
+def test_statistics_of_path_uppercase_extensions(tmp_path, rng):
+    """Camera-named files (IMG_0001.JPG) must be found: directory listing
+    goes through the shared case-insensitive cli.common.list_images, not a
+    lowercase-only glob (review finding, round 5)."""
+    from PIL import Image
+
+    from weather_unet_tpu.evaluation.fid import statistics_of_path
+
+    for i in range(3):
+        Image.fromarray(
+            rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)).save(
+                tmp_path / f"IMG_{i}.JPG")
+    feats = lambda batch: np.asarray(batch).reshape(len(batch), -1)[:, :8]
+    mu, sigma = statistics_of_path(str(tmp_path), feats, batch_size=2,
+                                   size=16)
+    assert mu.shape == (8,) and sigma.shape == (8, 8)
+
+
 def test_inception_score_uniform_is_one():
     probs = np.full((100, 10), 0.1)
     mean, std = inception_score_from_probs(probs, splits=5)

@@ -41,6 +41,23 @@ def test_verify_accepts_correct_structure():
     assert verify_fid_weights(variables, model) == "converted"
 
 
+def test_verify_accepts_converted_tree_with_fc_head():
+    """Real converted checkpoints KEEP the classifier head
+    (inception_from_torch keeps fc for the IS CLI) while the pool3-only FID
+    graph has none — verify must ignore the fc subtree instead of rejecting
+    every real checkpoint as 'unexpected tensors' (review finding, round 5;
+    previously --weights always crashed here).  Any fc width must pass
+    (1008-way TF-ported, 1000-way torchvision)."""
+    model = InceptionV3FID()
+    for width in (1008, 1000):
+        full = jax.eval_shape(
+            lambda w=width: InceptionV3FID(
+                with_logits=True, num_logits=w).init(
+                    jax.random.key(0), jnp.zeros((1, 299, 299, 3))))
+        vars_np = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), full)
+        assert verify_fid_weights(vars_np, model) == "converted"
+
+
 def test_verify_rejects_wrong_structure():
     model = InceptionV3FID()
     variables = model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3)))

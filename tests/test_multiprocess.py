@@ -203,6 +203,33 @@ def test_lockstep_wrapper_protocol(monkeypatch):
     assert next(iter(w._drift.values())) is drift_exe
 
 
+def test_lockstep_same_signature_error_reraises(monkeypatch):
+    """A dispatch error at the PRIMARY signature is not drift: it must
+    re-raise locally instead of entering a drift barrier the healthy ranks
+    never join (which would wedge every rank until the barrier timeout —
+    review finding, round 5)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    barriers = []
+    monkeypatch.setattr(launch, "barrier",
+                        lambda name, timeout_s=1800.0: barriers.append(name))
+    w = launch.LockstepCompile(jax.jit(lambda x: x * 2), "reraise")
+    w._pending = True
+    x = np.arange(4.0, dtype=np.float32)
+    np.testing.assert_allclose(np.asarray(w(x)), x * 2)
+    n_rendezvous = len(barriers)
+
+    def boom(*a):
+        raise ValueError("input committed to the wrong device")
+
+    w._compiled = boom
+    with pytest.raises(ValueError, match="wrong device"):
+        w(x)
+    assert len(barriers) == n_rendezvous   # no drift rendezvous entered
+
+
 def test_lockstep_names_unique_per_instance():
     import jax
 

@@ -57,6 +57,7 @@ class WeatherTransfer:
                 "fuse_upconv serving is single-device; rebuild the model "
                 "with fuse_upconv=False when passing a MeshPlan")
         self._vsh = None
+        self._sweep_jit = None
         if plan is not None:
             if tensor_parallel:
                 from weather_unet_tpu.parallel.tp import tp_shardings
@@ -189,25 +190,33 @@ class WeatherTransfer:
         """demo.py theta sweep: (T, num_classes, B, H, W, 3) frames where axis
         k's condition is sin(theta)*alpha with estimator predictions elsewhere
         (``demo.py:71-78``)."""
-        n_cls = self.model.num_classes
         thetas = jnp.asarray(
             np.arange(-np.pi / 2, np.pi / 2 + np.pi / num_frames,
                       np.pi / (num_frames - 1)), jnp.float32)
         x = jnp.asarray(images)
         pred = estimate(x)
-        eye = jnp.eye(n_cls, dtype=x.dtype)
 
-        @jax.jit
-        def _sweep(x, pred):
-            def per_theta(theta):
-                def per_axis(onehot):
-                    c = (jnp.sin(theta) * alpha * onehot)[None, :] \
-                        + (1.0 - onehot)[None, :] * pred
-                    return self.model.apply(self.variables, x, c)
-                return jax.vmap(per_axis)(eye)
-            return jax.vmap(per_theta)(thetas)
+        # One jitted sweep per INSTANCE, reused across calls: a per-call
+        # closure would make every sweep() a fresh function object and
+        # retrace/recompile the full T x num_classes forward even at
+        # identical shapes (minutes per call over the TPU tunnel — review
+        # finding, round 5).  thetas ships as an argument (shape-keyed:
+        # changing num_frames recompiles once per frame count) and alpha as
+        # a traced scalar (changing it never recompiles).
+        if self._sweep_jit is None:
+            def _sweep(x, pred, thetas, alpha):
+                eye = jnp.eye(self.model.num_classes, dtype=x.dtype)
 
-        return _sweep(x, pred)
+                def per_theta(theta):
+                    def per_axis(onehot):
+                        c = (jnp.sin(theta) * alpha * onehot)[None, :] \
+                            + (1.0 - onehot)[None, :] * pred
+                        return self.model.apply(self.variables, x, c)
+                    return jax.vmap(per_axis)(eye)
+                return jax.vmap(per_theta)(thetas)
+
+            self._sweep_jit = jax.jit(_sweep)
+        return self._sweep_jit(x, pred, thetas, jnp.float32(alpha))
 
     @staticmethod
     def to_uint8(images) -> np.ndarray:

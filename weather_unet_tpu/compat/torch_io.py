@@ -114,7 +114,6 @@ def cunet_to_torch(variables) -> Dict[str, np.ndarray]:
     for i in (1, 2, 3):
         sd[f"adain{i}.l1.weight"] = _lin_out(p[f"adain{i}"]["proj"]["kernel"])
         sd[f"adain{i}.l1.bias"] = _np(p[f"adain{i}"]["proj"]["bias"])
-        n = sd[f"adain{i}.l1.weight"].shape[0] // 4  # ch*4 rows
         ncls = sd[f"adain{i}.l1.weight"].shape[1]
         # unused embedding, synthesized for strict torch load_state_dict
         sd[f"adain{i}.emb.weight"] = np.random.default_rng(0).standard_normal(

@@ -10,7 +10,6 @@ precomputed ``.npz`` stats like the reference CLI.
 from __future__ import annotations
 
 import os
-import pathlib
 from typing import Optional, Tuple
 
 import numpy as np
@@ -91,9 +90,9 @@ def statistics_of_path(path: str, feature_fn, batch_size: int = 50,
     if path.endswith(".npz"):
         with np.load(path) as f:
             return f["mu"][:], f["sigma"][:]
-    p = pathlib.Path(path)
-    files = sorted(str(f) for ext in ("*.jpg", "*.jpeg", "*.png")
-                   for f in p.glob(ext))
+    from weather_unet_tpu.cli.common import list_images
+
+    files = list_images(path)    # shared listing: case-insensitive suffixes
     if not files:
         raise RuntimeError(f"no images found under {path}")
     acts = get_activations(_image_batches(files, batch_size, size), feature_fn)
@@ -144,6 +143,14 @@ def verify_fid_weights(variables, model, *, path: Optional[str] = None) -> str:
         lambda: model.init(jax.random.key(0), jnp.zeros((1, 299, 299, 3))))
     exp_leaves = dict(jax.tree_util.tree_flatten_with_path(expected)[0])
     got_leaves = dict(jax.tree_util.tree_flatten_with_path(variables)[0])
+    if not any(getattr(p, "key", None) == "fc" for k in exp_leaves for p in k):
+        # Converted checkpoints KEEP the classifier head for the Inception
+        # Score CLI (compat/torch_io.py::inception_from_torch), but the
+        # pool3-only FID graph has no fc — ignore it here rather than
+        # reject every real converted checkpoint (its width also varies by
+        # family: 1008-way TF-ported vs 1000-way torchvision).
+        got_leaves = {k: v for k, v in got_leaves.items()
+                      if not any(getattr(p, "key", None) == "fc" for p in k)}
     missing = set(exp_leaves) - set(got_leaves)
     extra = set(got_leaves) - set(exp_leaves)
     if missing or extra:

@@ -185,6 +185,7 @@ class LockstepCompile:
         seq = _lockstep_seq[name] = _lockstep_seq.get(name, -1) + 1
         self._name = f"{name}:{seq}"
         self._compiled = None
+        self._primary_sig = None
         self._drift: dict = {}
         self._pending = jax.process_count() > 1
 
@@ -222,14 +223,22 @@ class LockstepCompile:
     def __call__(self, *args):
         if self._pending:
             self._pending = False
+            self._primary_sig = self._sig(args)
             self._compiled = self._lockstep(*args)
         if self._compiled is not None:
             try:
                 return self._compiled(*args)
             except (TypeError, ValueError):
-                # signature drift from the primary specialization — raised
-                # before execution/donation, so re-dispatching is safe
-                pass
+                # Signature drift from the primary specialization — raised
+                # before execution/donation, so re-dispatching is safe.
+                # But ONLY treat it as drift when the args actually changed
+                # shape/dtype: a dispatch error on a matching signature
+                # (wrongly-committed device, reused donated buffer, ...)
+                # must re-raise locally, or this rank would enter a drift
+                # barrier the healthy ranks never join and all ranks would
+                # wedge until WUT_BARRIER_TIMEOUT_S (review finding, r5).
+                if self._sig(args) == self._primary_sig:
+                    raise
         key = self._sig(args)
         exe = self._drift.get(key)
         if exe is None:
