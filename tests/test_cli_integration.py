@@ -98,6 +98,54 @@ def test_inf_transfer_c_image_only(world, tmp_path):
     files = os.listdir(out)
     assert len(files) == 16 * 5
     assert any(f.endswith("_sunny.jpg") for f in files)
+    # saved like the reference's torchvision save_image(normalize=True):
+    # per-image min-max stretch, so every output spans ~the full u8 range
+    # (fixed-range tanh denorm would squash random-weight outputs into a
+    # narrow band — review finding, round 5)
+    from PIL import Image
+
+    arr = np.asarray(Image.open(out / files[0]))
+    # JPEG smoothing can pull isolated extremes well off 0/255; random-
+    # weight outputs under the old fixed-range denorm landed in a much
+    # narrower band (~90-165), so these bounds still separate the behaviors
+    assert arr.min() <= 8 and arr.max() >= 200, (arr.min(), arr.max())
+
+
+def test_demo_refuses_unpoolable_input_size(world, tmp_path):
+    """The reference demo's own default (244) cannot pass the three 2x2
+    pools; we refuse up front with a clear message instead of an opaque
+    shape error (review finding, round 5)."""
+    from weather_unet_tpu.cli import demo
+
+    with pytest.raises(SystemExit, match="not divisible by 8"):
+        demo.main(["--input_dir", world["img_dir"], "--cp_path", world["cp"],
+                   "--estimator_path", world["est"],
+                   "--output_dir", str(tmp_path / "g"), "--input_size", "244"])
+
+
+def test_load_transfer_class_count_mismatch_is_clear(world):
+    """Loading a 5-class checkpoint with num_classes=6 (the demo CLI's
+    reference-parity default) must raise a clear error naming both counts,
+    not an opaque downstream shape error."""
+    from weather_unet_tpu.cli.common import load_transfer
+
+    with pytest.raises(ValueError, match="5 condition.*num_classes=6"):
+        load_transfer(world["cp"], num_classes=6)
+
+
+def test_convert_checkpoint_from_torch_honors_output(world, tmp_path):
+    """from-torch must write EXACTLY the file named by --output (it used to
+    land at <dir>/<name>/ckpt_s*.msgpack and the named file never existed
+    — review finding, round 5)."""
+    from weather_unet_tpu.cli import convert_checkpoint
+    from weather_unet_tpu.train import checkpoint as ckpt2
+
+    out = tmp_path / "gan_state.msgpack"
+    convert_checkpoint.main(["from-torch", "--kind", "gan",
+                             "--input", world["cp"], "--output", str(out)])
+    assert out.exists()
+    state = ckpt2.restore_checkpoint(str(out), None)
+    assert "gen" in state and "disc" in state
 
 
 def test_demo_gif(world, tmp_path):

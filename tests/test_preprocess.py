@@ -32,6 +32,33 @@ def test_split_i2w(tmp_path):
     assert os.path.exists(out)
 
 
+def test_split_i2w_ignores_non_images_and_subsamples_before_split(tmp_path):
+    """Stray non-image files/subdirs must not enter the split pickle (they
+    would crash ClassImageDataset at load time), and small_rate subsamples
+    BEFORE the test split like the reference (spliter.py:26-30: test keeps
+    its full size under small_rate until the class runs out) — review
+    findings, round 5."""
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for cls in ["sunny", "rain"]:
+        d = tmp_path / cls
+        d.mkdir()
+        for i in range(20):
+            Image.fromarray(
+                rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)).save(
+                    d / f"{i}.jpg")
+        (d / "Thumbs.db").write_bytes(b"not an image")
+        (d / "notes.txt").write_text("stray")
+        (d / "subdir").mkdir()
+    split = pp.split_i2w(str(tmp_path), test_per_class=4, small_rate=0.5)
+    paths = [p for v in split.values() for p in v]
+    assert all(p.lower().endswith(".jpg") for p in paths)
+    # small_rate FIRST: 20 -> 10 per class, then 4 test + 3 train + 3 val
+    assert len(split["test"]) == 8          # test keeps its full size
+    assert len(split["train"]) == 6 and len(split["val"]) == 6
+
+
 def test_split_flickr_ratios():
     df = pd.DataFrame({
         "photo": [f"p{i}" for i in range(200)],

@@ -110,6 +110,16 @@ def load_transfer(cp_path: str, num_classes: int = 5, dtype=jnp.float32,
             raise ValueError(
                 f"unrecognized checkpoint layout in {cp_path}: "
                 f"expected a GanTrainState dict or a params tree")
+    try:  # flax Dense kernel is (in, out); adain proj's in-dim = num_classes
+        ncls_ckpt = int(variables["params"]["adain1"]["proj"]["kernel"].shape[0])
+    except (KeyError, TypeError, IndexError):
+        ncls_ckpt = None
+    if ncls_ckpt is not None and ncls_ckpt != num_classes:
+        raise ValueError(
+            f"checkpoint {cp_path} was trained with {ncls_ckpt} condition "
+            f"classes but num_classes={num_classes} was requested (e.g. the "
+            f"demo CLI's reference-parity default is 6) — pass "
+            f"--num_classes {ncls_ckpt}")
     return model, variables
 
 

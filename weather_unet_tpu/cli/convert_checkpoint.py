@@ -51,8 +51,6 @@ def main(argv=None):
             torch.save({k: torch.from_numpy(np.array(v, copy=True))
                         for k, v in sd.items()}, args.output)
     else:  # from-torch
-        import os
-
         if args.kind == "gan":
             bundle = torch_io.gan_checkpoint_from_torch(args.input)
             tree = {
@@ -65,9 +63,11 @@ def main(argv=None):
             variables = torch_io.resnet_from_torch(
                 torch_io.load_torch_file(args.input))
             tree = variables
-        out_dir = os.path.dirname(os.path.abspath(args.output)) or "."
-        name = os.path.basename(args.output).replace(".msgpack", "")
-        path = ckpt.save_checkpoint(out_dir, name, 0, tree)
+        # honor --output LITERALLY (it used to land at
+        # <dir>/<name>/ckpt_s0000000000.msgpack, so the file the user named
+        # never existed — review finding, round 5; to-torch always honored
+        # it)
+        path = ckpt.save_checkpoint_file(args.output, tree)
         print(f"wrote {path}")
         return
     print(f"wrote {args.output}")

@@ -38,6 +38,15 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.input_size % 8:
+        # the cUNet's three 2x2 max-pools need three even halvings or the
+        # decoder's skip-concat widths mismatch.  The reference demo.py
+        # ships the same broken default (244 — its torch.cat raises too);
+        # fail early with a usable message instead of an opaque shape error
+        raise SystemExit(
+            f"--input_size {args.input_size} is not divisible by 8, which "
+            f"the cUNet encoder/decoder requires (the reference demo's own "
+            f"244 default is equally broken) — use e.g. 224 or 256")
     from PIL import Image
 
     from weather_unet_tpu.cli.common import list_images, load_estimator, load_transfer

@@ -32,9 +32,9 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
-    from PIL import Image
 
-    from weather_unet_tpu.cli.common import denorm_tanh, load_flickr_frame, load_transfer
+    from weather_unet_tpu.cli.common import (load_flickr_frame, load_transfer,
+                                             save_image)
     from weather_unet_tpu.data.datasets import OneYearWeatherSignals, SIGNAL_COLUMNS
     from weather_unet_tpu.data.transforms import normalize_batch
 
@@ -68,8 +68,10 @@ def main(argv=None):
             ts = datetime.datetime.fromtimestamp(
                 int(ds.s_times[i]), datetime.timezone.utc)
             name = ts.strftime("%Y%m%d_%H%M%S") + ".jpg"
-            Image.fromarray(denorm_tanh(outs[j])).save(
-                os.path.join(args.output_dir, name))
+            # per-image min-max like the reference's torchvision
+            # save_image(normalize=True) (inf_1year_signals.py:105)
+            save_image(os.path.join(args.output_dir, name),
+                       outs[j][None], nrow=1)
     print(f"Done: {n} frames in {args.output_dir}")
 
 

@@ -38,11 +38,10 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    from weather_unet_tpu.cli.common import denorm_tanh, list_images, load_transfer
+    from weather_unet_tpu.cli.common import list_images, load_transfer, save_image
     from weather_unet_tpu.data.datasets import ClassImageDataset, ImagePathDataset
     from weather_unet_tpu.data.pipeline import BatchLoader, device_prefetch
     from weather_unet_tpu.data.transforms import normalize_batch
-    from PIL import Image
 
     os.makedirs(args.output_dir, exist_ok=True)
     classes = WEATHER_CLASSES_I2W
@@ -83,8 +82,10 @@ def main(argv=None):
             for bi in range(outs.shape[1]):
                 meta = metas[bi]
                 name = f"{get_src(meta)}_{get_name(meta)}_{cname}.jpg"
-                Image.fromarray(denorm_tanh(outs[ci, bi])).save(
-                    os.path.join(args.output_dir, name))
+                # per-image min-max like the reference's torchvision
+                # save_image(normalize=True) (inf_transfer_c.py:119-121)
+                save_image(os.path.join(args.output_dir, name),
+                           outs[ci, bi][None], nrow=1)
     print(f"Done: outputs in {args.output_dir}")
 
 

@@ -21,6 +21,13 @@ def build_parser():
     p.add_argument("--gpu", type=str, default="0", help="parity flag; ignored")
     p.add_argument("--image_root", type=str, required=True)
     p.add_argument("--pkl_path", type=str, required=True)
+    p.add_argument("--stats_pkl", type=str, default=None,
+                   help="dataframe to z-score the signal columns AGAINST "
+                        "(the reference normalizes the test pickle with a "
+                        "separate without-outlier frame's mean/std — "
+                        "inf_transfer_e.py:66-75; omitting this self-scores "
+                        "the --pkl_path frame, which shifts conditions vs a "
+                        "reference-trained checkpoint)")
     p.add_argument("--output_dir", type=str, default="results_e")
     p.add_argument("--cp_path", type=str, required=True)
     p.add_argument("--estimator_path", type=str, default=None,
@@ -34,10 +41,8 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    from PIL import Image
-
     from weather_unet_tpu.cli.common import (
-        denorm_tanh, load_estimator, load_flickr_frame, load_transfer)
+        load_estimator, load_flickr_frame, load_transfer, save_image)
     from weather_unet_tpu.data.datasets import FlickrDataset, SIGNAL_COLUMNS
     from weather_unet_tpu.data.pipeline import BatchLoader, device_prefetch
     from weather_unet_tpu.data.transforms import normalize_batch
@@ -47,7 +52,7 @@ def main(argv=None):
     est_apply = (load_estimator(args.estimator_path)
                  if args.estimator_path else None)
 
-    df, mean, std = load_flickr_frame(args.pkl_path)
+    df, mean, std = load_flickr_frame(args.pkl_path, stats_pkl=args.stats_pkl)
     if "mode" in df:
         df = df[df["mode"] == args.mode]
     dataset = FlickrDataset(args.image_root, df, SIGNAL_COLUMNS,
@@ -71,8 +76,12 @@ def main(argv=None):
         for ci in range(outs.shape[0]):
             for bi in range(outs.shape[1]):
                 name = f"{pids[bi]}_cond-{pids[ci]}.jpg"
-                Image.fromarray(denorm_tanh(outs[ci, bi])).save(
-                    os.path.join(args.output_dir, name))
+                # torchvision save_image(normalize=True) per-image min-max,
+                # like the reference (inf_transfer_e.py:141) — NOT the
+                # fixed-range tanh denorm (which differs whenever the output
+                # doesn't span [-1,1], skewing downstream FID/eval numbers)
+                save_image(os.path.join(args.output_dir, name),
+                           outs[ci, bi][None], nrow=1)
     print(f"Done: outputs in {args.output_dir}")
 
 

@@ -25,16 +25,25 @@ def main(argv=None):
     except ImportError:
         raise SystemExit("tensorboard is not available in this environment")
 
+    import io
+
+    from PIL import Image
+
     acc = EventAccumulator(args.event_path, size_guidance={"images": 0})
     acc.Reload()
     count = 0
     for tag in acc.Tags().get("images", []):
         if args.tag and tag != args.tag:
             continue
-        for ev in acc.Images(tag):
-            name = f"{tag.replace('/', '_')}_{ev.step}.jpg"
-            with open(os.path.join(args.output_dir, name), "wb") as f:
-                f.write(ev.encoded_image_string)
+        for i, ev in enumerate(acc.Images(tag)):
+            # index in the name: multiple events can share a step (the
+            # reference names by index too — write_image_summary.py:30);
+            # and RE-ENCODE: TB stores PNG bytes, which must not be dumped
+            # into a .jpg (format-keyed consumers misread them) — the
+            # reference re-encodes via cv2.imwrite (review finding, r5)
+            name = f"{tag.replace('/', '_')}_{ev.step}_{i}.jpg"
+            img = Image.open(io.BytesIO(ev.encoded_image_string)).convert("RGB")
+            img.save(os.path.join(args.output_dir, name), quality=95)
             count += 1
     print(f"wrote {count} images to {args.output_dir}")
 

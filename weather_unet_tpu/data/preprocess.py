@@ -14,24 +14,31 @@ from typing import Dict, List, Optional, Sequence
 def split_i2w(root: str, test_per_class: int = 500, small_rate: float = 1.0,
               seed: int = 0) -> Dict[str, List[str]]:
     """i2w directory tree -> {'train','val','test'} path lists
-    (``preprocesses/spliter.py:16-39``): ``test_per_class`` images per class
-    go to test, the remainder is halved into train/val; ``small_rate``
-    subsamples every split."""
+    (``preprocesses/spliter.py:16-39``): per class, ``small_rate``
+    subsamples FIRST (reference ``imgs[:int(len*small_rate)]`` before the
+    split — applying it after would shrink the fixed-size test set and make
+    eval numbers incomparable), then ``test_per_class`` images go to test
+    and the remainder is halved into train/val.  Only image files are
+    listed (reference globs ``*.jpg``; a bare ``*`` would sweep stray
+    files/subdirs into the pickle and crash ``ClassImageDataset`` at
+    load time)."""
     rng = random.Random(seed)
     out: Dict[str, List[str]] = {"train": [], "val": [], "test": []}
     classes = sorted(d for d in os.listdir(root)
                      if os.path.isdir(os.path.join(root, d)) and "z-other" not in d)
+    exts = (".jpg", ".jpeg", ".png")
     for cls in classes:
-        paths = sorted(glob(os.path.join(root, cls, "*")))
+        paths = sorted(p for p in glob(os.path.join(root, cls, "*"))
+                       if p.lower().endswith(exts) and os.path.isfile(p))
         rng.shuffle(paths)
+        if small_rate < 1.0:
+            paths = paths[: int(len(paths) * small_rate)]
         test = paths[:test_per_class]
         rest = paths[test_per_class:]
         half = len(rest) // 2
-        splits = {"test": test, "train": rest[:half], "val": rest[half:]}
-        for k, v in splits.items():
-            if small_rate < 1.0:
-                v = v[: int(len(v) * small_rate)]
-            out[k].extend(v)
+        out["test"].extend(test)
+        out["train"].extend(rest[:half])
+        out["val"].extend(rest[half:])
     return out
 
 
@@ -48,7 +55,6 @@ def split_flickr(df, per_class: Sequence[int] = (40, 40, 20),
         df = df[df["ent_label"] < ent_th]
     rng = np.random.default_rng(seed)
     modes = np.empty(len(df), dtype=object)
-    pos = {c: i for i, c in enumerate(df.columns)}
     labels = df[class_col].to_numpy()
     for cls in np.unique(labels):
         idx = np.flatnonzero(labels == cls)

@@ -39,15 +39,24 @@ def _adain_kernel(x_ref, ys_ref, ym_ref, o_ref, *, eps: float):
     h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
     hw = h * w
 
-    def stat_row(i, acc):
-        s, ss = acc
-        row = x_ref[0, i].astype(jnp.float32)        # (W, C)
-        return s + jnp.sum(row, axis=0), ss + jnp.sum(row * row, axis=0)
-
+    # Two-pass stats (mean first, then E[(x-mean)^2]): the one-pass
+    # E[x^2]-mean^2 form cancels catastrophically for near-constant
+    # channels with large mean (var+eps can go negative -> rsqrt NaN), the
+    # exact bug class ops/norm.py:16-24 was rewritten to avoid (review
+    # finding, round 5).  Costs one extra read pass over the block; this
+    # kernel is opt-in (~6% slower than XLA's fusion anyway).
     zero = jnp.zeros((c,), jnp.float32)
-    s, ss = jax.lax.fori_loop(0, h, stat_row, (zero, zero))
-    mean = s / hw
-    var = (ss / hw - mean * mean) * (hw / max(hw - 1, 1))   # unbiased (torch .var())
+
+    def sum_row(i, s):
+        return s + jnp.sum(x_ref[0, i].astype(jnp.float32), axis=0)
+
+    mean = jax.lax.fori_loop(0, h, sum_row, zero) / hw
+
+    def var_row(i, vs):
+        d = x_ref[0, i].astype(jnp.float32) - mean
+        return vs + jnp.sum(d * d, axis=0)
+
+    var = jax.lax.fori_loop(0, h, var_row, zero) / max(hw - 1, 1)  # unbiased (torch .var())
     inv = jax.lax.rsqrt(var + eps)
     ys = ys_ref[...].astype(jnp.float32)            # (1, 1, C)
     ym = ym_ref[...].astype(jnp.float32)

@@ -229,7 +229,12 @@ class BatchNorm2d(nn.Module):
             xf = x.astype(jnp.float32)
             n = x.shape[0] * x.shape[1] * x.shape[2]
             mean = jnp.mean(xf, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
+            # two-pass variance: E[(x-mean)^2], NOT E[x^2]-mean^2 — the
+            # one-pass form cancels catastrophically for near-constant
+            # channels with large mean (var can go below -eps -> rsqrt
+            # NaN); same rationale as ops/norm.py:16-24 (review finding,
+            # round 5)
+            var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2))
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
                 m = self.momentum

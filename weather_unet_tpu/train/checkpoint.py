@@ -53,6 +53,22 @@ def save_checkpoint(directory: str, name: str, step: int, tree: Any) -> str:
     return path
 
 
+def save_checkpoint_file(path: str, tree: Any) -> str:
+    """Serialize ``tree`` to EXACTLY ``path`` (no ``directory/name/ckpt_*``
+    convention) — for tools whose user names the output file, e.g.
+    ``wut-convert-checkpoint from-torch --output est.msgpack``.  Same
+    atomic staged-write discipline as :func:`save_checkpoint`."""
+    import uuid
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    data = serialization.to_bytes(_to_host(tree))
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
 def latest_checkpoint(directory: str, name: str) -> Optional[str]:
     """Path of the newest checkpoint under ``directory/name`` (auto-resume,
     reference globs and sorts — ``t_est_train.py:151``)."""
