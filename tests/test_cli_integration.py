@@ -439,6 +439,13 @@ def test_eval_classifier_i2w_cli(world, tmp_path):
         "--batch_size", "4", "--copy_misclassified"])
     assert len(out["y_true"]) == 5  # one test image per class
     assert out["confusion_matrix"].shape == (5, 5)
+    # the reference writes these artifacts (eval_classifier_i2w.py:106-114)
+    # — previously only eval_class_transfer did (review finding, round 5);
+    # cm.pkl is a DataFrame with class-named axes like the reference's
+    cm_df = pd.read_pickle(tmp_path / "ec" / "cm.pkl")
+    assert list(cm_df.index) == ["sunny", "cloudy", "rain", "snow", "foggy"]
+    assert cm_df.to_numpy().sum() == 5
+    assert (tmp_path / "ec" / "pr_table.png").exists()
 
 
 def test_eval_estimator_cli(world, tmp_path):

@@ -306,3 +306,34 @@ def test_host_augment_semantics():
                        saturation=0.3, seed=3)
     out = full(img)
     assert out.shape == (32, 32, 3)
+
+
+def test_batchloader_refuses_unsplittable_tail_multiprocess(monkeypatch):
+    """process_shard with drop_last=False and a tail batch not divisible by
+    the process count must refuse at CONSTRUCTION — previously
+    process_slice raised only at the epoch's last batch, losing the whole
+    epoch (review finding, round 5)."""
+    import jax
+    import pytest
+
+    from weather_unet_tpu.data.pipeline import BatchLoader
+
+    class Sized:
+        def __len__(self):
+            return 21                 # 21 % 8 = 5-row tail, 5 % 2 != 0
+
+        def __getitem__(self, i):
+            return (np.zeros((4, 4, 3), np.uint8), 0)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(ValueError, match="tail batch"):
+        BatchLoader(Sized(), batch_size=8, drop_last=False,
+                    process_shard=True)
+    # divisible tail (or drop_last) constructs fine
+    BatchLoader(Sized(), batch_size=8, drop_last=True, process_shard=True)
+
+    class Sized22(Sized):
+        def __len__(self):
+            return 22                 # tail 6, divisible by 2
+
+    BatchLoader(Sized22(), batch_size=8, drop_last=False, process_shard=True)

@@ -150,8 +150,19 @@ def test_estimator_transfer_consistency_pipeline(rng):
 
     out = estimator_transfer_consistency(
         model, variables, estimate, [(x, conds)], sigma=np.ones(5) * 2.0)
-    assert out["l1_mean"].shape == (5,)
-    np.testing.assert_allclose(out["l1_mean_denorm"], out["l1_mean"] * 2.0)
+    assert out["signed_mean"].shape == (5,)
+    np.testing.assert_allclose(out["signed_mean_denorm"],
+                               out["signed_mean"] * 2.0)
+    # CROSS-conditioning semantics (eval_estimator_transfer.py:48-61):
+    # row j = mean over the WHOLE batch translated to sample j's signals —
+    # not a diagonal own-signals self-transfer (review finding, round 5)
+    assert out["rows"].shape == (4, 5)
+    j = 2
+    cc = jnp.tile(conds[j][None, :], (x.shape[0], 1))
+    fake = model.apply(variables, x, cc)
+    expect_row = np.asarray(jnp.mean(estimate(fake) - cc, axis=0))
+    np.testing.assert_allclose(out["rows"][j], expect_row, rtol=2e-5,
+                               atol=1e-6)
 
 
 def test_inception_forward_matches_torch_mirror(inception, rng):

@@ -59,3 +59,24 @@ def test_rand_labels_and_const():
 def test_lmda_ramp():
     assert um.lmda_ramp(50, 100) == 0.5
     assert um.lmda_ramp(50, 100, fixed=0.3) == 0.3
+
+
+def test_image_table_matches_make_table_img():
+    """train.metrics.image_table == reference ops.make_table_img semantics
+    (ops.py:77-84): torch.cat([images] + results, dim=2) on NCHW, i.e. the
+    input batch stacked ABOVE each result batch along HEIGHT (review
+    finding, round 5: this used to concat along WIDTH)."""
+    import torch
+
+    from weather_unet_tpu.train.metrics import image_table
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((2, 4, 6, 3)).astype(np.float32)
+    r1 = rng.random((2, 4, 6, 3)).astype(np.float32)
+    r2 = rng.random((2, 4, 6, 3)).astype(np.float32)
+    ours = image_table(imgs, [r1, r2])
+    nchw = lambda a: torch.from_numpy(a).permute(0, 3, 1, 2)
+    ref = torch.cat([nchw(imgs), nchw(r1), nchw(r2)], dim=2)
+    np.testing.assert_array_equal(ours, ref.permute(0, 2, 3, 1).numpy())
+    # single-result call stays supported
+    assert image_table(imgs, r1).shape == (2, 8, 6, 3)

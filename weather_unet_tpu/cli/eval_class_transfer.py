@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import pickle
 
 
 def build_parser():
@@ -39,7 +38,8 @@ def main(argv=None):
     from weather_unet_tpu.data.pipeline import BatchLoader, device_prefetch
     from weather_unet_tpu.data.transforms import normalize_batch
     from weather_unet_tpu.evaluation.transfer import (
-        class_transfer_consistency, classification_report_dict)
+        class_transfer_consistency, classification_report_dict,
+        write_confusion_artifacts)
 
     os.makedirs(args.output_dir, exist_ok=True)
     model, variables = load_transfer(args.cp_path)
@@ -54,31 +54,9 @@ def main(argv=None):
 
     y_true, y_pred = class_transfer_consistency(model, variables, classify, batches)
     out = classification_report_dict(y_true, y_pred, WEATHER_CLASSES_I2W)
-
-    from sklearn.metrics import classification_report
-
-    print(classification_report(y_true, y_pred,
-                                labels=list(range(5)),
-                                target_names=WEATHER_CLASSES_I2W, zero_division=0))
-    with open(os.path.join(args.output_dir, "cm.pkl"), "wb") as f:
-        pickle.dump(out["confusion_matrix"], f)
-    try:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-        import seaborn as sns
-
-        fig, ax = plt.subplots(figsize=(6, 5))
-        sns.heatmap(out["confusion_matrix"], annot=True, fmt="d",
-                    xticklabels=WEATHER_CLASSES_I2W,
-                    yticklabels=WEATHER_CLASSES_I2W, ax=ax)
-        ax.set_xlabel("predicted")
-        ax.set_ylabel("requested")
-        fig.savefig(os.path.join(args.output_dir, "pr_table.png"),
-                    bbox_inches="tight")
-    except Exception as e:  # plotting is best-effort
-        print(f"heatmap skipped: {e}")
+    print(out["text"])
+    write_confusion_artifacts(args.output_dir, out["confusion_matrix"],
+                              WEATHER_CLASSES_I2W)
     return out
 
 

@@ -25,7 +25,6 @@ def build_parser():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    import numpy as np
     import jax.numpy as jnp
     import pandas as pd
 
@@ -33,7 +32,9 @@ def main(argv=None):
     from weather_unet_tpu.data.datasets import ClassImageDataset, WEATHER_CLASSES_I2W
     from weather_unet_tpu.data.pipeline import BatchLoader, device_prefetch
     from weather_unet_tpu.data.transforms import normalize_batch
-    from sklearn.metrics import classification_report, confusion_matrix
+    from weather_unet_tpu.evaluation.transfer import (
+        classification_report_dict, classifier_accuracy,
+        write_confusion_artifacts)
 
     os.makedirs(args.output_dir, exist_ok=True)
     classify = load_estimator(args.classifier_path)
@@ -42,18 +43,16 @@ def main(argv=None):
     loader = BatchLoader(ds, batch_size=args.batch_size, drop_last=False,
                          num_workers=args.num_workers)
 
-    y_true, y_pred, paths = [], [], []
-    for imgs_u8, targets, batch_paths in device_prefetch(loader, device_fields=[0]):
-        x = normalize_batch(jnp.asarray(imgs_u8))
-        p = np.asarray(jnp.argmax(classify(x), axis=1))
-        y_pred.extend(p.tolist())
-        y_true.extend(np.asarray(targets).astype(int).tolist())
-        paths.extend(list(batch_paths))
+    batches = ((normalize_batch(jnp.asarray(b[0])), b[1], b[2])
+               for b in device_prefetch(loader, device_fields=[0]))
+    y_true, y_pred, paths = classifier_accuracy(classify, batches)
 
-    print(classification_report(y_true, y_pred, labels=list(range(5)),
-                                target_names=WEATHER_CLASSES_I2W, zero_division=0))
-    cm = confusion_matrix(y_true, y_pred, labels=list(range(5)))
+    out = classification_report_dict(y_true, y_pred, WEATHER_CLASSES_I2W)
+    cm = out["confusion_matrix"]
+    print(out["text"])
     print(cm)
+    # the reference's on-disk artifacts (eval_classifier_i2w.py:106-114)
+    write_confusion_artifacts(args.output_dir, cm, WEATHER_CLASSES_I2W)
 
     if args.copy_misclassified:
         for t, pr, path in zip(y_true, y_pred, paths):

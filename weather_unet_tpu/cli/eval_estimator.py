@@ -50,9 +50,14 @@ def main(argv=None):
                for b in device_prefetch(loader, device_fields=[0, 1]))
     out = estimator_errors(estimate, batches, sigma=np.asarray(std))
 
-    for k in ("l1_mean", "mse_mean", "l1_mean_denorm"):
-        vals = ", ".join(f"{c}={v:.4f}" for c, v in zip(SIGNAL_COLUMNS, out[k]))
-        print(f"{k}: {vals}")
+    # reference prints SIGNED per-column mean/std + denorms as 'l1'/'l1
+    # std' (eval_estimator.py:145-147,157-177: the abs form is commented
+    # out there); abs-mean and mse follow as extra info
+    for k in ("signed_mean", "signed_mean_denorm", "signed_std",
+              "signed_std_denorm", "l1_mean", "l1_mean_denorm", "mse_mean"):
+        if k in out:
+            vals = ", ".join(f"{c}={v:.4f}" for c, v in zip(SIGNAL_COLUMNS, out[k]))
+            print(f"{k}: {vals}")
     with open(os.path.join(args.output_dir, "errors.pkl"), "wb") as f:
         pickle.dump(out, f)
 

@@ -1,7 +1,10 @@
 """Signal-transfer consistency eval — rebuild of
-``eval/eval_estimator_transfer.py``: translate each test image with its own
-signals and report the estimator's per-column readback error, z-scored and
-de-normalized by the train-split sigma."""
+``eval/eval_estimator_transfer.py``: for each reference sample, translate
+the WHOLE batch to that sample's signals (bs x bs cross-conditioning,
+``eval_estimator_transfer.py:48-61``) and report the estimator's per-column
+SIGNED readback error (mean + std over the per-reference rows), z-scored
+and de-normalized by the train-split sigma — the reference's printed
+``l1``/``l1 std`` (``:129-138``)."""
 
 from __future__ import annotations
 
@@ -48,7 +51,11 @@ def main(argv=None):
                for b in device_prefetch(loader, device_fields=[0, 1]))
     out = estimator_transfer_consistency(
         model, variables, estimate, batches, sigma=np.asarray(std))
-    for k in ("l1_mean", "l1_std", "l1_mean_denorm"):
+    # the reference prints the SIGNED mean/std and their denorms as
+    # 'l1'/'l1 std' (eval_estimator_transfer.py:129-138); abs stats follow
+    # as extra info
+    for k in ("signed_mean", "signed_mean_denorm", "signed_std",
+              "signed_std_denorm", "l1_mean", "l1_mean_denorm"):
         if k in out:
             vals = ", ".join(f"{c}={v:.4f}" for c, v in zip(SIGNAL_COLUMNS, out[k]))
             print(f"{k}: {vals}")

@@ -52,6 +52,27 @@ class BatchLoader:
         self.process_shard = process_shard
         self.seed = seed
         self._rng = np.random.default_rng(seed)
+        if process_shard and not drop_last:
+            # Fail at construction, not at the epoch's LAST batch: a tail
+            # batch whose row count doesn't divide the process count makes
+            # process_slice raise after the whole epoch ran (review
+            # finding, round 5).  The supervised CLIs therefore keep
+            # drop_last=True in multi-process runs.
+            import jax
+
+            pc = jax.process_count()
+            try:
+                n = len(sampler) if sampler is not None else len(dataset)
+            except TypeError:
+                n = None              # unsized sampler: can't pre-check
+            tail = (n % batch_size) if n is not None else 0
+            if pc > 1 and tail and tail % pc:
+                raise ValueError(
+                    f"process_shard with drop_last=False: the tail batch "
+                    f"({tail} rows) is not divisible by "
+                    f"process_count={pc}, so the epoch would crash at its "
+                    f"last batch — use drop_last=True (what the training "
+                    f"CLIs do multi-process) or size the dataset")
 
     def set_epoch(self, epoch: int):
         """Deterministically reseed the shuffle for ``epoch``.

@@ -101,7 +101,16 @@ def make_grid(images: np.ndarray, nrow: int = 1, normalize: bool = True,
     return grid
 
 
-def image_table(images: np.ndarray, fakes: np.ndarray) -> np.ndarray:
-    """Side-by-side input|output strip (reference ``ops.make_table_img`` /
-    ``io/train`` image, ``t_est_train.py:257-259``): concat along width."""
-    return np.concatenate([images, fakes], axis=2)
+def image_table(images: np.ndarray, results) -> np.ndarray:
+    """Reference ``ops.make_table_img`` (``ops.py:77-84``): the input batch
+    stacked ABOVE each result batch along HEIGHT (its ``torch.cat([images]
+    + results, dim=2)`` is NCHW height == NHWC axis 1).  ``results`` is one
+    array or a list of result batches.  The blank+ref top row the reference
+    assembles is dead code there (``res_img`` is commented out, only
+    ``in_out_img`` returns) and is omitted here.  Fixed round 5: this used
+    to concat a single result along WIDTH, which is the ``io/train`` strip
+    (``t_est_train.py:257``), not the table."""
+    if isinstance(results, np.ndarray):
+        results = [results]
+    return np.concatenate([np.asarray(images)] + [np.asarray(r) for r in results],
+                          axis=1)
