@@ -95,6 +95,68 @@ def test_cache_get_rejects_torn_read(tmp_path, jpegs):
     np.testing.assert_array_equal(out, true_img)
 
 
+def test_cache_row_reassignment_never_serves_wrong_image(tmp_path, jpegs):
+    """A live cache object must NEVER serve another path's pixels after a
+    later reopen reassigns its row to a different path (changed corpus) —
+    gen alone cannot catch this (the bump precedes the late reader's
+    snapshot and the new fill looks stable); owner.npy's per-row path hash
+    does (review finding, round 5, previously reproduced as a wrong-image
+    HIT)."""
+    import os
+
+    from PIL import Image
+
+    d = str(tmp_path / "c")
+    a, b = jpegs[0], jpegs[1]
+    c = str(tmp_path / "c_img.jpg")
+    Image.fromarray(np.full((64, 80, 3), 30, np.uint8)).save(c, quality=92)
+
+    p1 = DecodedCache(d, base_size=32, paths=[a, b])
+    p1.populate()
+    true_b = p1.get(b)
+    row_b = p1._rows[os.path.abspath(b)]
+
+    p2 = DecodedCache(d, base_size=32, paths=[a, c])   # b dropped, c new
+    assert p2._rows[os.path.abspath(c)] == row_b       # row reassigned
+    c_img = p2.get(c)                                  # fills with c pixels
+    assert int(p2.present[row_b]) == 1
+
+    got = p1.get(b)                      # stale mapping b -> row_b
+    np.testing.assert_array_equal(got, true_b)          # b's REAL pixels
+    assert not np.array_equal(got, c_img)
+    assert p1.hits == 1                  # only the pre-reassignment read
+
+
+def test_cached_augment_keyed_and_png_routing(tmp_path, jpegs):
+    """CachedAugment exposes the keyed-RNG seam and routes ANY extension
+    through the cache (from_path_any): a .png corpus member must hit the
+    decode cache and draw from the schedule-independent keyed stream
+    (review finding, round 5: pngs bypassed both)."""
+    from PIL import Image
+
+    from weather_unet_tpu.data.datasets import ImagePathDataset
+    from weather_unet_tpu.data.transforms import NativeAugment
+
+    png = str(tmp_path / "x.png")
+    rng = np.random.default_rng(1)
+    Image.fromarray(rng.integers(0, 255, (64, 80, 3), np.uint8)).save(png)
+    paths = jpegs[:2] + [png]
+    cache = DecodedCache(str(tmp_path / "c"), base_size=48, paths=paths)
+    aug = CachedAugment(cache, NativeAugment(32, seed=5))
+    assert getattr(aug, "from_path_any", False)
+    ds = ImagePathDataset(paths, out_size=48, transform=aug)
+    img, _flag = ds[2]                   # the png, through _load
+    assert img.shape == (32, 32, 3)
+    assert cache.misses == 1             # cached, not passthrough-decoded
+    ds[2]
+    assert cache.hits == 1
+    # keyed + replayable: a fresh identically-seeded stack reproduces it
+    cache2 = DecodedCache(str(tmp_path / "c"), base_size=48, paths=paths)
+    aug2 = CachedAugment(cache2, NativeAugment(32, seed=5))
+    np.testing.assert_array_equal(
+        ImagePathDataset(paths, out_size=48, transform=aug2)[2][0], img)
+
+
 def test_cache_legacy_dir_without_gen_file(tmp_path, jpegs):
     """Cache dirs written before gen.npy existed must reopen cleanly (the
     constructor creates the counters) and still serve every row."""

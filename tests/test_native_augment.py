@@ -301,3 +301,36 @@ def test_native_vs_pil_distribution(tmp_path, rng):
     outs_p = np.stack([pil(arr) for _ in range(16)]).astype(np.float32)
     assert abs(outs_n.mean() - outs_p.mean()) < 6.0
     assert abs(outs_n.std() - outs_p.std()) < 8.0
+
+
+def test_fork_stream_independent_draws(tmp_path, rng):
+    """fork_stream gives the GAN trainers' random loader an independent
+    keyed-RNG stream: a shared transform would make the per-path draw
+    counter k race between the two zipped loaders (review finding,
+    round 5).  The fork draws differently from the original for the same
+    path, draws on either side don't advance the other's counters, and a
+    cache-wrapped fork shares the SAME DecodedCache."""
+    from PIL import Image
+
+    from weather_unet_tpu.data.cache import CachedAugment, DecodedCache
+    from weather_unet_tpu.data.transforms import fork_stream
+
+    p = str(tmp_path / "a.jpg")
+    Image.fromarray(rng.integers(0, 255, (64, 64, 3), np.uint8)).save(
+        p, quality=95)
+    a = NativeAugment(32, seed=9, resized_crop=True, brightness=0.4)
+    b = fork_stream(a)
+    d_a0 = a.from_path(p)
+    d_b0 = b.from_path(p)
+    assert not np.array_equal(d_a0, d_b0)        # independent streams
+    # interleaving draws on b must not advance a's counters: a's second
+    # draw equals what a fresh original would produce at k=1
+    ref = NativeAugment(32, seed=9, resized_crop=True, brightness=0.4)
+    ref.from_path(p)
+    np.testing.assert_array_equal(a.from_path(p), ref.from_path(p))
+
+    cache = DecodedCache(str(tmp_path / "c"), base_size=48, paths=[p])
+    wrapped = CachedAugment(cache, a)
+    forked = fork_stream(wrapped)
+    assert forked.cache is cache                 # shared cache, new stream
+    assert forked.augment.seed == a.seed + 1

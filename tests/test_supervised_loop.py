@@ -242,3 +242,22 @@ def test_train_supervised_resumes_oldest_checkpoint_layout(tmp_path, rng, capsys
     # epoch 1 was already complete -> zero epochs re-trained
     assert epochs_run == []
     assert "resumed from" in capsys.readouterr().out
+
+
+def test_padded_eval_refuses_weightless_eval_fn():
+    """_padded_eval_batches(allow_pad=False) must refuse a partial batch
+    instead of padding it: a 4-arg eval_fn (weights dropped by the wrapper)
+    would average the duplicated pad rows into its metrics (review
+    finding, round 5)."""
+    import pytest
+
+    from weather_unet_tpu.train.loops import _padded_eval_batches
+
+    full = (np.zeros((8, 4, 4, 3), np.uint8), np.zeros(8, np.int32))
+    tail = (np.zeros((3, 4, 4, 3), np.uint8), np.zeros(3, np.int32))
+    counts = []
+    ok = list(_padded_eval_batches(iter([full]), 8, counts, allow_pad=False))
+    assert len(ok) == 1 and counts == [8]
+    with pytest.raises(ValueError, match="no weights argument"):
+        list(_padded_eval_batches(iter([full, tail]), 8, [],
+                                  allow_pad=False))

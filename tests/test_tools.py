@@ -175,3 +175,32 @@ def test_tpu_runthrough_refuses_reused_workdir(tmp_path):
     (tmp_path / "old" / "cp").mkdir(parents=True)
     with pytest.raises(SystemExit, match="already holds run artifacts"):
         mod.main(["--cpu", "--workdir", str(tmp_path / "old")])
+
+
+def test_bench_main_emits_exactly_one_stdout_line(monkeypatch, capsys):
+    """bench.py's driver contract is EXACTLY one stdout JSON line; library
+    prints reached by the probes (trainer NaN warning, cache-disabled note)
+    must land on stderr via main()'s redirect shield (review finding,
+    round 5)."""
+    import importlib.util
+    import json as _json
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(repo, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    def noisy_measure():
+        print("library progress line")          # must NOT reach stdout
+        print("warning: something", file=sys.stderr)
+        return {"metric": "m", "value": 1.0}
+
+    monkeypatch.setattr(bench, "_measure", noisy_measure)
+    bench.main()
+    cap = capsys.readouterr()
+    lines = [ln for ln in cap.out.splitlines() if ln]
+    assert len(lines) == 1, lines
+    assert _json.loads(lines[0])["metric"] == "m"
+    assert "library progress line" in cap.err

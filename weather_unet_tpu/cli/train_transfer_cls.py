@@ -168,16 +168,25 @@ def main(argv=None):
                                  SIGNAL_COLUMNS, out_size=args.input_size,
                                  class_id=False)
 
+    # Independent keyed-RNG stream for the random loader: sharing ONE
+    # transform between the two zipped loaders makes the per-path draw
+    # counter scheduling-dependent (both streams race for k=0/1 on a path
+    # in flight in both) — transforms.fork_stream.
+    from weather_unet_tpu.data.datasets import with_transform
+    from weather_unet_tpu.data.transforms import fork_stream
+
+    rand_set = with_transform(train_set, fork_stream(aug))
+
     def train_loader():
         return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
                            num_workers=args.num_workers, process_shard=True)
 
     def random_loader():
         if args.sampler:
-            return BatchLoader(train_set, batch_size=args.batch_size,
-                               sampler=ImbalancedSampler(train_set),
+            return BatchLoader(rand_set, batch_size=args.batch_size,
+                               sampler=ImbalancedSampler(rand_set),
                                num_workers=args.num_workers, process_shard=True)
-        return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
+        return BatchLoader(rand_set, batch_size=args.batch_size, shuffle=True,
                            seed=1, num_workers=args.num_workers,
                            process_shard=True)
 

@@ -130,6 +130,13 @@ def main(argv=None):
                                           transform=aug)
         train_set = mk(train_df, False)
 
+    # independent keyed-RNG stream for the random loader (same rationale as
+    # train_transfer_cls: shared transform = scheduling-dependent k race)
+    from weather_unet_tpu.data.datasets import with_transform
+    from weather_unet_tpu.data.transforms import fork_stream
+
+    rand_set = with_transform(train_set, fork_stream(aug))
+
     def train_loader():
         return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
                            num_workers=args.num_workers, process_shard=True)
@@ -138,10 +145,10 @@ def main(argv=None):
         if args.sampler:
             # reference t_est builds the sampled loader over the SAME dataset
             # (condition2 class labels), not w_condition (t_est_train.py:183-189)
-            return BatchLoader(train_set, batch_size=args.batch_size,
-                               sampler=ImbalancedSampler(train_set),
+            return BatchLoader(rand_set, batch_size=args.batch_size,
+                               sampler=ImbalancedSampler(rand_set),
                                num_workers=args.num_workers, process_shard=True)
-        return BatchLoader(train_set, batch_size=args.batch_size, shuffle=True,
+        return BatchLoader(rand_set, batch_size=args.batch_size, shuffle=True,
                            seed=1, num_workers=args.num_workers,
                            process_shard=True)
 

@@ -408,4 +408,8 @@ def enable_compilation_cache(path: str = XLA_CACHE_DIR):
         if _cpu_platform_expected():
             install_aot_loader_guard(cache_dir)
     except Exception as e:  # cache is an optimization, never fatal
-        print(f"compilation cache disabled: {e}")
+        import sys
+
+        # stderr: bench.py's driver contract is ONE stdout JSON line, and
+        # this function runs inside its probes (review finding, round 5)
+        print(f"compilation cache disabled: {e}", file=sys.stderr)

@@ -16,6 +16,7 @@ Layout under ``cache_dir``:
     data.npy     uint8 memmap (N, base, base, 3)
     present.npy  uint8 flags — row filled markers (crash-safe lazy fill)
     gen.npy      uint32 per-row invalidation counters (torn-read guard)
+    owner.npy    uint64 per-row path hashes (row-reassignment guard)
 
 Rows fill lazily on first access (the first epoch pays decode exactly like
 the uncached path; later epochs read at page-cache speed).  Stale entries
@@ -31,7 +32,11 @@ protocol: snapshot ``gen[row]``, COPY the pixels, and accept only if
 ``gen`` and ``present`` are unchanged — the invalidator clears ``present``
 and then bumps ``gen`` (fillers never touch ``gen``), so any refill that
 could have overlapped the copy is detected and the reader falls back to
-decoding the source directly.
+decoding the source directly.  ``gen`` alone cannot catch a row REASSIGNED
+to a different path by a reopen over a changed corpus (the bump lands
+before a late reader's snapshot and the new fill looks stable), so reads
+additionally require ``owner.npy``'s per-row path hash to match —
+otherwise the reader serves its source file.
 
 Usage (any dataset transform seam)::
 
@@ -60,6 +65,7 @@ class DecodedCache:
         self._data_path = os.path.join(self.dir, "data.npy")
         self._present_path = os.path.join(self.dir, "present.npy")
         self._gen_path = os.path.join(self.dir, "gen.npy")
+        self._owner_path = os.path.join(self.dir, "owner.npy")
 
         # Multi-host training opens the same cache dir from every rank
         # (parallel.launch + --decode_cache).  Construction must be
@@ -143,6 +149,18 @@ class DecodedCache:
             self.data = self._fresh_memmap(self._data_path, shape)
             self.present = self._open_present(capacity, fresh_ok=False)
         self.gen = self._open_gen(capacity, keep=reuse)
+        self.owner = self._open_owner(capacity, keep=reuse)
+        # Row OWNERSHIP (64-bit path hash per row): gen alone cannot tell a
+        # same-path refill (serveable) from a row REASSIGNED to a different
+        # path by a later reopen over a changed corpus — a live reader of
+        # the dropped path would pass the gen recheck and serve the new
+        # path's pixels as a hit (review finding, round 5, reproduced).
+        # Write ownership BEFORE the invalidation loop: from that store on,
+        # the dropped path's readers fail their owner check and decode from
+        # source; before it, the row still holds the old path's bytes.
+        self._owner_hash = {p: self._hash64(p) for p in rows}
+        for p, e in entries.items():
+            self.owner[e["row"]] = self._owner_hash.get(p) or self._hash64(p)
         for r in stale_rows:            # invalidate stale/new rows
             # order is load-bearing for get()'s seqlock: clear the flag
             # FIRST, bump gen second.  A reader that saw the old flag=1 and
@@ -291,6 +309,30 @@ class DecodedCache:
         m[:] = 0
         return m
 
+    def _open_owner(self, n: int, keep: bool):
+        """Open (or create) the per-row path-ownership hashes (uint64
+        blake2b of the abspath).  Same keep-vs-fresh rationale as
+        :meth:`_open_gen`; a zero/garbage value only causes a spurious
+        fallback to source decode, never a wrong-image hit."""
+        if keep:
+            try:
+                m = np.lib.format.open_memmap(self._owner_path, mode="r+")
+                if m.shape == (n,) and m.dtype == np.uint64:
+                    return m
+            except Exception:
+                pass
+        m = self._fresh_memmap(self._owner_path, (n,), dtype=np.uint64)
+        m[:] = 0
+        return m
+
+    @staticmethod
+    def _hash64(path: str) -> np.uint64:
+        import hashlib
+
+        return np.uint64(int.from_bytes(
+            hashlib.blake2b(path.encode("utf-8", "replace"),
+                            digest_size=8).digest(), "little"))
+
     def _stat(self, p):
         try:
             st = os.stat(p)
@@ -326,22 +368,33 @@ class DecodedCache:
     def get(self, path: str) -> np.ndarray:
         """Decoded base-size uint8 HWC image; decodes and fills on miss.
 
-        Hit path is a seqlock read (module docstring): gen snapshot ->
-        pixel COPY -> gen+flag recheck.  A recheck failure means another
-        process invalidated this row (source file changed) while we read —
-        fall back to decoding the source, which is definitionally fresh.
-        The copy costs ~8 us/row (measured, 257^2x3) vs the ~800 us/img
-        host supply bound — noise."""
-        row = self._rows.get(os.path.abspath(path))
+        Hit path is a seqlock read (module docstring): owner+gen snapshot
+        -> pixel COPY -> owner+gen+flag recheck.  A gen/flag change means
+        another process invalidated this row (source file changed) while we
+        read; an OWNER mismatch means a later reopen reassigned the row to
+        a different path entirely (changed corpus) — both fall back to
+        decoding the source, which is definitionally fresh.  The copy costs
+        ~8 us/row (measured, 257^2x3) vs the ~800 us/img host supply bound
+        — noise."""
+        ap = os.path.abspath(path)
+        row = self._rows.get(ap)
         if row is None:
             return self._decode(path)   # not in the cached set: passthrough
+        oh = self._owner_hash.get(ap)
+        if oh is None:
+            oh = self._owner_hash[ap] = self._hash64(ap)
         g0 = int(self.gen[row])
-        if self.present[row]:
+        if self.owner[row] == oh and self.present[row]:
             buf = np.array(self.data[row])          # copy, then validate
-            if self.gen[row] == g0 and self.present[row]:
+            if (self.gen[row] == g0 and self.present[row]
+                    and self.owner[row] == oh):
                 self.hits += 1
                 return buf
             return self._decode(path)   # torn window: serve the source
+        if self.owner[row] != oh:
+            # row taken by another path — never refill over it (the new
+            # owner's filler would race us); serve the source directly
+            return self._decode(path)
         img = self._decode(path)
         self.data[row] = img
         self.present[row] = 1           # flag AFTER pixels (crash safety)
@@ -366,6 +419,12 @@ class CachedAugment:
         self.cache = cache
         self.augment = augment
 
+    #: the datasets' ``_load`` seam may route ANY extension through
+    #: ``from_path`` (the cache decodes via PIL, not just libjpeg) — without
+    #: this, non-JPEG corpus images bypassed the cache entirely AND fell
+    #: back to the schedule-dependent counter RNG (review finding, round 5)
+    from_path_any = True
+
     def from_path(self, path: str) -> np.ndarray:
         img = self.cache.get(path)
         if self.augment is None:
@@ -373,6 +432,15 @@ class CachedAugment:
         # keyed per-path RNG stream when offered (transforms._KeyedRngMixin)
         keyed = getattr(self.augment, "augment_keyed", None)
         return keyed(img, path) if keyed is not None else self.augment(img)
+
+    def augment_keyed(self, image_u8: np.ndarray, path: str) -> np.ndarray:
+        """Keyed-stream augmentation of an already-decoded image, delegated
+        to the inner augment (counter-stream fallback when it has none)."""
+        if self.augment is None:
+            return image_u8
+        keyed = getattr(self.augment, "augment_keyed", None)
+        return (keyed(image_u8, path) if keyed is not None
+                else self.augment(image_u8))
 
     def set_epoch(self, epoch: int) -> None:
         se = getattr(self.augment, "set_epoch", None)

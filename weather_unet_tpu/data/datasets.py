@@ -85,7 +85,11 @@ def _load(path: str, out_size: Optional[int], transform) -> np.ndarray:
     decode-augment fast path (``transforms.NativeAugment.from_path``, one
     GIL-free C++ call) when it offers one and the file is a JPEG."""
     if (transform is not None and hasattr(transform, "from_path")
-            and path.lower().endswith((".jpg", ".jpeg"))):
+            and (path.lower().endswith((".jpg", ".jpeg"))
+                 or getattr(transform, "from_path_any", False))):
+        # jpg gating exists for the libjpeg-fused NativeAugment; transforms
+        # that can ingest any extension (the decode cache) opt in via
+        # ``from_path_any``
         return transform.from_path(path)
     image = _decode(path, out_size)
     if transform is not None:
@@ -94,6 +98,17 @@ def _load(path: str, out_size: Optional[int], transform) -> np.ndarray:
         keyed = getattr(transform, "augment_keyed", None)
         image = keyed(image, path) if keyed is not None else transform(image)
     return image
+
+
+def with_transform(dataset, transform):
+    """Shallow view of ``dataset`` with a different ``transform`` — shares
+    the path/label arrays; used to give a second loader over the same data
+    an independent keyed-RNG stream (``transforms.fork_stream``)."""
+    import copy
+
+    d = copy.copy(dataset)
+    d.transform = transform
+    return d
 
 
 def flickr_image_path(image_root: str, photo_id) -> str:

@@ -210,7 +210,7 @@ class _KeyedRngMixin:
         return _np.random.default_rng((self.seed, n))
 
     def _rng_keyed(self, path: str):
-        import zlib
+        import hashlib
 
         import numpy as _np
 
@@ -218,8 +218,13 @@ class _KeyedRngMixin:
             k = self._path_counts.get(path, 0)
             self._path_counts[path] = k + 1
             e = self._epoch
-        return _np.random.default_rng(
-            (self.seed, e, zlib.crc32(path.encode("utf-8", "replace")), k))
+        # 128-bit path hash: a 32-bit key (crc32) gives ~1 expected
+        # colliding pair per 100k-image corpus whose augmentations would be
+        # perfectly correlated all run (review finding, round 5)
+        h = int.from_bytes(hashlib.blake2b(
+            path.encode("utf-8", "replace"), digest_size=16).digest(),
+            "little")
+        return _np.random.default_rng((self.seed, e, h, k))
 
 
 class HostAugment(_KeyedRngMixin):
@@ -402,6 +407,31 @@ class NativeAugment(_KeyedRngMixin):
         h, w = image_u8.shape[:2]
         mat = self._runtime.make_affine(h, w, u, **self._cfg_kwargs())
         return self._runtime.augment_u8(image_u8, mat, jit, self.out_size)
+
+
+def fork_stream(transform, offset: int = 1):
+    """Clone a (possibly decode-cache-wrapped) train transform onto an
+    INDEPENDENT keyed-RNG stream (``seed + offset``).
+
+    The GAN trainers zip TWO loaders over one dataset (content + random
+    streams); if both share one transform, a path in flight in both loaders
+    races for the per-path draw counter ``k`` and the stream→image
+    assignment becomes thread-scheduling-dependent again (review finding,
+    round 5).  Give the second loader a forked dataset view
+    (``datasets.with_transform``) carrying this clone; a cache wrapper is
+    re-wrapped around the SAME shared cache."""
+    import copy
+
+    from weather_unet_tpu.data.cache import CachedAugment
+
+    if isinstance(transform, CachedAugment):
+        return CachedAugment(transform.cache,
+                             fork_stream(transform.augment, offset))
+    if isinstance(transform, _KeyedRngMixin):
+        t = copy.copy(transform)
+        t._rng_init(transform.seed + offset)
+        return t
+    return transform
 
 
 def make_train_augment(out_size: int, *, resized_crop: bool = False,

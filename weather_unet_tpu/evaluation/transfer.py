@@ -106,7 +106,11 @@ def estimator_transfer_consistency(model, variables, estimate: Callable,
             cc = jnp.tile(c[None, :], (batch.shape[0], 1))
             fake = model.apply(variables, batch, cc)
             return jnp.mean(estimate(fake) - cc, axis=0)    # (C,)
-        return jax.vmap(per_ref)(conds)                     # (B, C)
+        # lax.map, NOT vmap: vmapping B whole-batch forwards holds B^2
+        # images of activations at once (B=64 at 224^2 compile-OOMs a
+        # 16 GB chip); the reference loops refs sequentially too
+        # (eval_estimator_transfer.py:49-57)
+        return jax.lax.map(per_ref, conds)                  # (B, C)
 
     rows = []
     for batch, conds in batches:

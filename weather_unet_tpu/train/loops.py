@@ -494,7 +494,8 @@ class WeatherTransferTrainer:
             self._ckpt.close()
 
 
-def _padded_eval_batches(loader, n_shards: int, counts: list):
+def _padded_eval_batches(loader, n_shards: int, counts: list,
+                         allow_pad: bool = True):
     """Yield ``(images, targets, weights)`` eval batches with any PARTIAL
     batch padded (last row repeated) up to a shardable row count, so the
     tail of a ``drop_last=False`` test split is evaluated instead of
@@ -515,6 +516,15 @@ def _padded_eval_batches(loader, n_shards: int, counts: list):
             target = n if n % n_shards == 0 else -(-n // n_shards) * n_shards
         tgt = max(target, -(-n // n_shards) * n_shards)  # never truncate
         if n < tgt:
+            if not allow_pad:
+                # a 4-arg eval_fn (weights silently dropped) would average
+                # the duplicated pad rows INTO its metrics — refuse rather
+                # than bias the numbers (review finding, round 5)
+                raise ValueError(
+                    f"partial eval batch of {n} rows needs padding+masking, "
+                    f"but the supplied eval_fn takes no weights argument — "
+                    f"accept (params, stats, x, targets, weights) or give "
+                    f"the test loader drop_last=True")
             x = np.concatenate([x, np.repeat(x[-1:], tgt - n, axis=0)])
             t = np.concatenate([t, np.repeat(t[-1:], tgt - n, axis=0)])
         w = np.zeros(tgt, np.float32)
@@ -563,10 +573,11 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
     (jstep,), _ = _tiered_steps([(fused, "sup_step")], step_kw, aot_cache)
     # The sweep always passes per-sample weights (ones on full batches, 0 on
     # padded tail rows); a caller-supplied 4-arg eval_fn is wrapped to drop
-    # them — numerically identical because its loaders never pad (padding
-    # only happens for partial batches, which drop_last=True callers never
-    # produce).
-    if len(inspect.signature(eval_fn).parameters) >= 5:
+    # them — numerically identical on FULL batches, and the sweep refuses
+    # to pad a partial batch for such an eval_fn (the duplicated rows would
+    # silently bias its unweighted mean — _padded_eval_batches allow_pad).
+    accepts_weights = len(inspect.signature(eval_fn).parameters) >= 5
+    if accepts_weights:
         eval_w = eval_fn
     else:
         eval_w = lambda p, b, x, t, w: eval_fn(p, b, x, t)
@@ -693,8 +704,9 @@ def train_supervised(model, step_fn, eval_fn, train_loader_fn, test_loader_fn,
                     # global shapes in lockstep (their loaders keep
                     # drop_last=True; see the supervised CLIs)
                     pad_shards = plan.n_data if jax.process_count() == 1 else 1
-                    batches = _padded_eval_batches(test_loader_fn(),
-                                                   pad_shards, counts)
+                    batches = _padded_eval_batches(
+                        test_loader_fn(), pad_shards, counts,
+                        allow_pad=accepts_weights)
                     for tb in device_prefetch(batches, sharding=bsh,
                                               device_fields=[0, 1, 2]):
                         m = jeval(state.params, state.extra, norm(tb[0]),
